@@ -1,0 +1,30 @@
+"""nvmolkit_tpu: a TPU-native batch cheminformatics acceleration framework.
+
+A from-scratch JAX/XLA/Pallas rebuild of the capability surface of
+NVIDIA-Digital-Bio/nvMolKit (reference: ``nvmolkit/__init__.py:16-31``):
+batch Morgan fingerprints, packed-bitvector cross similarity, Butina
+clustering, batched MMFF94/UFF/DG/ETK force fields with BFGS minimization,
+ETKDG conformer embedding, TFD and conformer-RMSD matrices, substructure
+search, and hardware autotuning — all designed TPU-first:
+
+  * compute kernels are jitted XLA programs / Pallas TPU kernels over
+    bucketed, padded, masked batches (no ragged CSR on device),
+  * similarity rides the MXU as a bits->bf16/int8 matmul instead of the
+    reference's b1 tensor-core BMMA path,
+  * device-side control loops (Butina, BFGS, ETKDG retries) are
+    ``lax.while_loop`` + active masks instead of CUDA-graph conditionals,
+  * multi-chip scaling is a ``jax.sharding.Mesh`` + ``pjit``/``shard_map``
+    data-parallel sweep over molecules (the reference's only cross-device
+    op is result gathering — see SURVEY.md §2.16).
+
+Unlike the reference, this package does not require RDKit: it ships its
+own lightweight cheminformatics core (``nvmolkit_tpu.chem``) for SMILES
+parsing, ring perception, and force-field parametrization, with an
+optional RDKit adapter when RDKit is importable.
+"""
+
+__version__ = "0.1.0"
+
+from nvmolkit_tpu import chem, ops, parallel, utils  # noqa: F401
+
+__all__ = ["chem", "ops", "parallel", "utils", "__version__"]

@@ -1,0 +1,83 @@
+"""Hardware/batching configuration.
+
+TPU-native analog of the reference's ``BatchHardwareOptions``
+(``src/hardware_options.h:26-36``) / Python ``HardwareOptions``
+(``nvmolkit/types.py:26-122``): the knobs that autotune searches over and
+users thread through batch APIs. GPU ids / streams become TPU mesh axes
+and bucket sizes.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Any
+
+
+@dataclasses.dataclass
+class HardwareOptions:
+    """Batching/scheduling knobs threaded through batch APIs.
+
+    Mirrors the reference semantics (``-1`` means "auto"):
+      * ``preprocessingThreads`` — host threads for featurization /
+        parametrization (the reference's OpenMP preprocessing pool).
+      * ``batchSize`` — systems per device dispatch.
+      * ``batchesPerDevice`` — in-flight batches per chip (XLA async
+        dispatch depth; the reference's ``batchesPerGpu`` stream count).
+      * ``deviceIds`` — which chips to use; empty = all
+        (the reference's ``gpuIds``).
+      * ``atomBuckets`` — pad-to sizes for molecule bucketing (TPU-only
+        knob; replaces the reference's fixed 32/64/128 size classes).
+    """
+
+    preprocessingThreads: int = -1
+    batchSize: int = -1
+    batchesPerDevice: int = -1
+    deviceIds: list[int] = dataclasses.field(default_factory=list)
+    atomBuckets: tuple[int, ...] = (32, 64, 128, 256)
+
+    _FIELDS = (
+        "preprocessingThreads",
+        "batchSize",
+        "batchesPerDevice",
+        "deviceIds",
+        "atomBuckets",
+    )
+
+    def __post_init__(self) -> None:
+        for name in ("preprocessingThreads", "batchSize", "batchesPerDevice"):
+            v = getattr(self, name)
+            if not isinstance(v, int) or (v < 1 and v != -1):
+                raise ValueError(f"{name} must be a positive int or -1 (auto), got {v!r}")
+        if not all(isinstance(d, int) and d >= 0 for d in self.deviceIds):
+            raise ValueError(f"deviceIds must be non-negative ints, got {self.deviceIds!r}")
+        buckets = tuple(int(b) for b in self.atomBuckets)
+        if not buckets or any(b < 1 for b in buckets) or list(buckets) != sorted(set(buckets)):
+            raise ValueError(f"atomBuckets must be strictly increasing positive ints, got {self.atomBuckets!r}")
+        self.atomBuckets = buckets
+
+    def to_dict(self) -> dict[str, Any]:
+        return {
+            "preprocessingThreads": self.preprocessingThreads,
+            "batchSize": self.batchSize,
+            "batchesPerDevice": self.batchesPerDevice,
+            "deviceIds": list(self.deviceIds),
+            "atomBuckets": list(self.atomBuckets),
+        }
+
+    @classmethod
+    def from_dict(cls, d: dict[str, Any]) -> "HardwareOptions":
+        unknown = set(d) - set(cls._FIELDS)
+        if unknown:
+            # Reference rejects unknown keys on JSON round-trip (types.py:111-122).
+            raise ValueError(f"Unknown HardwareOptions keys: {sorted(unknown)}")
+        kwargs = dict(d)
+        if "atomBuckets" in kwargs:
+            kwargs["atomBuckets"] = tuple(kwargs["atomBuckets"])
+        return cls(**kwargs)
+
+    def to_json(self) -> str:
+        return json.dumps(self.to_dict())
+
+    @classmethod
+    def from_json(cls, s: str) -> "HardwareOptions":
+        return cls.from_dict(json.loads(s))
