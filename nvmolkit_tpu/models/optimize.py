@@ -1,0 +1,111 @@
+"""Shared batch-minimization driver: bucket (mol, conformer) systems,
+run batched BFGS per bucket, scatter results back.
+
+Counterpart of the reference's MMFF/UFF drivers
+(``src/minimizer/bfgs_mmff.cpp:116-157``): the reference round-robins
+OpenMP threads over GPUs and streams; here each atom-size bucket becomes
+one jitted batched minimization (XLA async dispatch pipelines buckets).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import jax.numpy as jnp
+import numpy as np
+
+from nvmolkit_tpu.chem.mol import Mol
+from nvmolkit_tpu.ops.bfgs import batched_bfgs_minimize
+from nvmolkit_tpu.types import Dense3DResult
+from nvmolkit_tpu.utils.config import HardwareOptions
+
+
+@dataclasses.dataclass
+class SystemRef:
+    mol_idx: int
+    conf_idx: int
+
+
+def _bucket_for(n_atoms: int, buckets: tuple[int, ...]) -> int:
+    for b in buckets:
+        if n_atoms <= b:
+            return b
+    raise ValueError(f"molecule with {n_atoms} atoms exceeds largest bucket {buckets[-1]}")
+
+
+def optimize_molecules_confs(
+    mols: list[Mol],
+    make_batch_fn: Callable,        # (mols, max_atoms) -> batch pytree
+    energy_and_grad_fn: Callable,   # (positions, batch) -> (e, g)
+    max_iters: int = 200,
+    grad_tol: float = 1e-4,
+    hardware_options: HardwareOptions | None = None,
+):
+    """Minimize every conformer of every molecule.
+
+    Returns ``(energies, not_converged, dense)`` where ``energies`` is a
+    nested list [mol][conf] of final energies, ``not_converged`` mirrors
+    RDKit's status convention (0 = converged), and ``dense`` is a
+    :class:`Dense3DResult` of minimized coordinates.
+    """
+    opts = hardware_options or HardwareOptions()
+    for i, m in enumerate(mols):
+        if not m.conformers:
+            raise ValueError(f"molecule {i} has no conformers")
+
+    # group systems by bucket
+    bucket_systems: dict[int, list[SystemRef]] = {}
+    for mi, m in enumerate(mols):
+        b = _bucket_for(m.num_atoms, opts.atomBuckets)
+        for ci in range(len(m.conformers)):
+            bucket_systems.setdefault(b, []).append(SystemRef(mi, ci))
+
+    max_confs = max(len(m.conformers) for m in mols)
+    max_atoms_all = max(_bucket_for(m.num_atoms, opts.atomBuckets) for m in mols)
+    n_mols = len(mols)
+
+    energies = [[0.0] * len(m.conformers) for m in mols]
+    statuses = [[1] * len(m.conformers) for m in mols]
+    out_pos = np.zeros((n_mols, max_confs, max_atoms_all, 3), dtype=np.float32)
+    conf_mask = np.zeros((n_mols, max_confs), dtype=bool)
+    atom_mask_out = np.zeros((n_mols, max_atoms_all), dtype=bool)
+    for mi, m in enumerate(mols):
+        atom_mask_out[mi, : m.num_atoms] = True
+        conf_mask[mi, : len(m.conformers)] = True
+    converged_out = np.zeros((n_mols, max_confs), dtype=bool)
+    energies_out = np.zeros((n_mols, max_confs), dtype=np.float32)
+
+    for bucket, systems in sorted(bucket_systems.items()):
+        sys_mols = [mols[s.mol_idx] for s in systems]
+        batch = make_batch_fn(sys_mols, bucket)
+        S = len(systems)
+        pos0 = np.zeros((S, bucket, 3), dtype=np.float32)
+        for k, s in enumerate(systems):
+            m = mols[s.mol_idx]
+            pos0[k, : m.num_atoms] = m.conformers[s.conf_idx]
+
+        def eg(p, batch=batch):
+            return energy_and_grad_fn(p, batch)
+
+        res = batched_bfgs_minimize(
+            eg, jnp.asarray(pos0), batch.atom_mask, max_iters=max_iters, grad_tol=grad_tol
+        )
+        e = np.asarray(res.energies)
+        conv = np.asarray(res.converged)
+        pos = np.asarray(res.positions)
+        for k, s in enumerate(systems):
+            m = mols[s.mol_idx]
+            energies[s.mol_idx][s.conf_idx] = float(e[k])
+            statuses[s.mol_idx][s.conf_idx] = 0 if bool(conv[k]) else 1
+            out_pos[s.mol_idx, s.conf_idx, : m.num_atoms] = pos[k, : m.num_atoms]
+            converged_out[s.mol_idx, s.conf_idx] = bool(conv[k])
+            energies_out[s.mol_idx, s.conf_idx] = float(e[k])
+
+    dense = Dense3DResult(
+        positions=jnp.asarray(out_pos),
+        conf_mask=jnp.asarray(conf_mask),
+        atom_mask=jnp.asarray(atom_mask_out),
+        energies=jnp.asarray(energies_out),
+        converged=jnp.asarray(converged_out),
+    )
+    return energies, statuses, dense

@@ -1,0 +1,51 @@
+"""Batch UFF optimization — public API.
+
+Mirrors the reference's ``nvmolkit/uffOptimization.py``:
+``UFFOptimizeMoleculesConfs(molecules, maxIters, vdwThreshold, ...)``
+minimizes every conformer of every molecule with batched BFGS and
+returns per-conformer (status, energy) pairs plus dense coordinates.
+"""
+from __future__ import annotations
+
+from nvmolkit_tpu.chem.mol import Mol
+from nvmolkit_tpu.models.optimize import optimize_molecules_confs
+from nvmolkit_tpu.models.uff.energy import make_batched_uff, uff_energy_and_grad
+from nvmolkit_tpu.types import Dense3DResult
+from nvmolkit_tpu.utils.config import HardwareOptions
+
+
+def UFFOptimizeMoleculesConfs(
+    molecules: list[Mol],
+    maxIters: int = 200,
+    vdwThreshold: float = 10.0,
+    ignoreInterfragInteractions: bool = True,
+    nonBondedThreshold: float | None = None,
+    hardwareOptions: HardwareOptions | None = None,
+):
+    """Minimize all conformers of all molecules under UFF.
+
+    Returns ``(results, dense)``: ``results[mol][conf] = (not_converged,
+    energy)`` matching RDKit's ``UFFOptimizeMoleculeConfs`` convention
+    (0 = converged), ``dense`` a :class:`Dense3DResult` with minimized
+    coordinates, energies and convergence flags.
+    """
+    del ignoreInterfragInteractions, nonBondedThreshold  # parity args
+
+    def make_batch(mols, max_atoms):
+        # vdwThreshold prunes pairs whose combined well distance x_ij
+        # exceeds it; the default (10 A) keeps every pair, matching the
+        # reference's default behavior for drug-like molecules.
+        return make_batched_uff(mols, max_atoms, vdw_threshold=vdwThreshold)
+
+    energies, statuses, dense = optimize_molecules_confs(
+        molecules,
+        make_batch,
+        uff_energy_and_grad,
+        max_iters=maxIters,
+        hardware_options=hardwareOptions,
+    )
+    results = [
+        [(statuses[m][c], energies[m][c]) for c in range(len(molecules[m].conformers))]
+        for m in range(len(molecules))
+    ]
+    return results, dense

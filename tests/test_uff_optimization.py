@@ -1,0 +1,76 @@
+"""Public UFF optimization API tests (mirrors reference
+``test_uff_optimization.py`` / ``test_batched_forcefield.py`` roles)."""
+import math
+
+import numpy as np
+import pytest
+
+from nvmolkit_tpu.batchedForcefield import UFFBatchedForcefield
+from nvmolkit_tpu.chem import mol_from_smiles
+from nvmolkit_tpu.uffOptimization import UFFOptimizeMoleculesConfs
+
+
+def _lattice_conformer(m, rng, spacing=1.6):
+    n = m.num_atoms
+    side = math.ceil(n ** (1 / 3))
+    grid = np.array(
+        [(x, y, z) for x in range(side) for y in range(side) for z in range(side)],
+        dtype=np.float64,
+    )[:n]
+    return grid * spacing + (rng.random((n, 3)) - 0.5) * 0.4
+
+
+@pytest.fixture()
+def mols_with_confs(rng):
+    mols = [mol_from_smiles(s) for s in ["CCO", "CCCC", "c1ccccc1", "CC(=O)O"]]
+    for m in mols:
+        m.add_conformer(_lattice_conformer(m, rng))
+        m.add_conformer(_lattice_conformer(m, rng))  # two conformers each
+    return mols
+
+
+def test_optimize_molecules_confs(mols_with_confs):
+    results, dense = UFFOptimizeMoleculesConfs(mols_with_confs, maxIters=400)
+    assert len(results) == 4
+    statuses = [s for mol_results in results for s, _ in mol_results]
+    energies = [e for mol_results in results for _, e in mol_results]
+    assert len(statuses) == 8
+    # f32 BFGS trajectories are chaotic; demand most systems converge and
+    # all relax to low strain
+    assert sum(1 for s in statuses if s == 0) >= 6
+    assert all(e < 100.0 for e in energies)
+    # dense result shape/masks
+    assert dense.positions.shape[0] == 4
+    per_mol = dense.per_molecule()
+    assert len(per_mol) == 4
+    assert per_mol[0][0].shape == (mols_with_confs[0].num_atoms, 3)
+
+
+def test_optimize_requires_conformers():
+    m = mol_from_smiles("CCO")
+    with pytest.raises(ValueError, match="no conformers"):
+        UFFOptimizeMoleculesConfs([m])
+
+
+def test_batched_forcefield_energy_grad_minimize(mols_with_confs):
+    ff = UFFBatchedForcefield(mols_with_confs)
+    e0 = ff.compute_energy().numpy()
+    g0 = ff.compute_gradients().numpy()
+    assert e0.shape == (8,)
+    assert g0.shape == (8, ff.max_atoms, 3)
+    assert np.isfinite(e0).all() and np.isfinite(g0).all()
+
+    energies, converged = ff.minimize(maxIters=400)
+    e1 = energies.numpy()
+    assert (e1 <= e0 + 1e-3).all()
+    assert converged.numpy().sum() >= 6
+    # energies relax by orders of magnitude from the strained start
+    assert (e1 < 0.05 * e0 + 50.0).all()
+
+
+def test_batched_forcefield_set_positions(mols_with_confs):
+    ff = UFFBatchedForcefield(mols_with_confs)
+    pos = np.asarray(ff.positions)
+    ff.set_positions(pos + 0.01)
+    with pytest.raises(ValueError):
+        ff.set_positions(pos[:2])
