@@ -25,6 +25,25 @@ optional RDKit adapter when RDKit is importable.
 
 __version__ = "0.1.0"
 
+import os as _os
+
+import jax as _jax
+
+# Persistent XLA compilation cache: the batch pipelines compile one
+# program per (bucket, term-count) shape; caching makes repeat runs
+# start in milliseconds instead of minutes. Opt out by setting
+# NVMOLKIT_TPU_NO_CACHE=1 or pointing JAX_COMPILATION_CACHE_DIR elsewhere.
+if not _os.environ.get("NVMOLKIT_TPU_NO_CACHE"):
+    _cache_dir = _os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        _os.path.join(_os.path.expanduser("~"), ".cache", "nvmolkit_tpu_xla"),
+    )
+    try:
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # older jax without these options
+        pass
+
 from nvmolkit_tpu import chem, ops, parallel, utils  # noqa: F401
 
 __all__ = ["chem", "ops", "parallel", "utils", "__version__"]

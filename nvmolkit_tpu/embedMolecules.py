@@ -1,0 +1,310 @@
+"""ETKDG-style conformer embedding — public API.
+
+Mirrors the reference's ``nvmolkit/embedMolecules.py`` /
+``src/etkdg.cpp:92-486`` pipeline, TPU-first:
+
+  stage 1  topological bounds (host, cached per molecule)
+  stage 2  triangle smoothing          — batched Floyd-Warshall on device
+  stage 3  random distance matrices    — device PRNG
+  stage 4  metric-matrix projection    — batched eigh
+  stage 5  DG 4-D minimization         — batched BFGS (chiral w=1.0,
+           fourth-dim w=0.1, 400 iters; mirroring etkdg.cpp:341-371)
+  stage 6  fourth-dim compression      — batched BFGS (0.2 / 1.0, 200)
+  stage 7  stereo/sanity checks        — bounds satisfaction + chiral
+           volume + tetrahedral-collapse checks, vectorized
+  retry    failed conformers re-enter the next iteration with a fresh
+           PRNG key (the reference's Scheduler/active-mask machinery,
+           etkdg_impl.h:210-286, becomes a host retry loop over masks)
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from nvmolkit_tpu.chem.bounds import topological_bounds
+from nvmolkit_tpu.chem.mol import Mol
+from nvmolkit_tpu.models.dist_geom import (
+    build_chiral_sets,
+    dg_energy_and_grad,
+    random_distance_matrices,
+)
+from nvmolkit_tpu.ops.bfgs import batched_bfgs_minimize
+from nvmolkit_tpu.ops.triangle_smooth import triangle_smooth_bounds
+from nvmolkit_tpu.types import Dense3DResult
+from nvmolkit_tpu.utils.config import HardwareOptions
+
+
+@dataclasses.dataclass
+class EmbedParameters:
+    """Subset of RDKit's EmbedParameters the pipeline honors.
+
+    ``useRandomCoords`` must stay True (the reference enforces the same,
+    ``embedMolecules.py:70-77``).
+    """
+
+    useRandomCoords: bool = True
+    randomSeed: int = 42
+    maxViolationRatio: float = 0.35   # bounds-check acceptance
+    minTetrahedralVolume: float = 0.5  # |6V| floor for sp3 centers
+    chiralWeightFirst: float = 1.0
+    fourthDimWeightFirst: float = 0.1
+    chiralWeightSecond: float = 0.2
+    fourthDimWeightSecond: float = 1.0
+    firstMinimizeIters: int = 400
+    fourthDimMinimizeIters: int = 200
+
+
+@dataclasses.dataclass
+class EmbedFailureCounts:
+    """Per-stage failure counters (the reference's getFailures())."""
+
+    smoothing: int = 0
+    first_minimize: int = 0
+    bounds_check: int = 0
+    chiral_check: int = 0
+    tetrahedral_check: int = 0
+
+
+def _tetrahedral_centers(mol: Mol) -> np.ndarray:
+    """sp3-ish carbons with 4 neighbors: quartets for collapse checks."""
+    quads = []
+    for i, atom in enumerate(mol.atoms):
+        if atom.atomic_num not in (6, 7) or atom.is_aromatic:
+            continue
+        nbrs = mol.neighbors(i)
+        if len(nbrs) == 4:
+            quads.append(nbrs)
+    return (
+        np.asarray(quads, np.int32) if quads else np.zeros((0, 4), np.int32)
+    )
+
+
+def EmbedMolecules(
+    molecules: list[Mol],
+    params: EmbedParameters | None = None,
+    confsPerMolecule: int = 1,
+    maxIterations: int = 10,
+    hardwareOptions: HardwareOptions | None = None,
+    failures: EmbedFailureCounts | None = None,
+) -> Dense3DResult:
+    """Generate conformers for every molecule; also appends them to each
+    ``Mol``'s conformer list. Returns a Dense3DResult (conf_mask marks
+    successfully embedded conformers)."""
+    params = params or EmbedParameters()
+    if not params.useRandomCoords:
+        raise ValueError("only useRandomCoords=True is supported")
+    opts = hardwareOptions or HardwareOptions()
+    fail = failures if failures is not None else EmbedFailureCounts()
+
+    n_mols = len(molecules)
+    buckets: dict[int, list[int]] = {}
+    for mi, m in enumerate(molecules):
+        for b in opts.atomBuckets:
+            if m.num_atoms <= b:
+                buckets.setdefault(b, []).append(mi)
+                break
+        else:
+            raise ValueError(
+                f"molecule {mi} has {m.num_atoms} atoms > largest bucket"
+            )
+
+    max_atoms_out = max(b for b in buckets)
+    out_pos = np.zeros((n_mols, confsPerMolecule, max_atoms_out, 3), np.float32)
+    out_conf_mask = np.zeros((n_mols, confsPerMolecule), bool)
+    out_atom_mask = np.zeros((n_mols, max_atoms_out), bool)
+    for mi, m in enumerate(molecules):
+        out_atom_mask[mi, : m.num_atoms] = True
+
+    key = jax.random.PRNGKey(params.randomSeed)
+
+    for bucket, mol_ids in sorted(buckets.items()):
+        key, sub = jax.random.split(key)
+        _embed_bucket(
+            molecules, mol_ids, bucket, confsPerMolecule, maxIterations,
+            params, sub, out_pos, out_conf_mask, fail,
+        )
+
+    # writeback to Mol conformer lists
+    for mi, m in enumerate(molecules):
+        for ci in range(confsPerMolecule):
+            if out_conf_mask[mi, ci]:
+                m.add_conformer(out_pos[mi, ci, : m.num_atoms].astype(np.float64))
+
+    return Dense3DResult(
+        positions=jnp.asarray(out_pos),
+        conf_mask=jnp.asarray(out_conf_mask),
+        atom_mask=jnp.asarray(out_atom_mask),
+    )
+
+
+def _embed_bucket(
+    molecules, mol_ids, bucket, confs_per_mol, max_iterations, params, key,
+    out_pos, out_conf_mask, fail,
+):
+    A = bucket
+    M = len(mol_ids)
+
+    # host: bounds + chiral sets per unique molecule
+    upper = np.zeros((M, A, A), np.float32)
+    lower = np.zeros((M, A, A), np.float32)
+    atom_mask = np.zeros((M, A), bool)
+    max_chiral = 1
+    chiral_data = []
+    tetra_data = []
+    for k, mi in enumerate(mol_ids):
+        m = molecules[mi]
+        na = m.num_atoms
+        u, l = topological_bounds(m)
+        upper[k, :na, :na] = u
+        lower[k, :na, :na] = l
+        atom_mask[k, :na] = True
+        cidx, clb, cub = build_chiral_sets(m)
+        chiral_data.append((cidx, clb, cub))
+        tq = _tetrahedral_centers(m)
+        tetra_data.append(tq)
+        max_chiral = max(max_chiral, len(cidx))
+    max_tetra = max(1, max((len(t) for t in tetra_data), default=1))
+
+    C = max_chiral
+    chiral_idx = np.zeros((M, C, 4), np.int32)
+    chiral_lb = np.zeros((M, C), np.float32)
+    chiral_ub = np.zeros((M, C), np.float32)
+    chiral_mask = np.zeros((M, C), bool)
+    for k, (cidx, clb, cub) in enumerate(chiral_data):
+        if len(cidx):
+            chiral_idx[k, : len(cidx)] = cidx
+            chiral_lb[k, : len(cidx)] = clb
+            chiral_ub[k, : len(cidx)] = cub
+            chiral_mask[k, : len(cidx)] = True
+    T = max_tetra
+    tetra_idx = np.zeros((M, T, 4), np.int32)
+    tetra_mask = np.zeros((M, T), bool)
+    for k, tq in enumerate(tetra_data):
+        if len(tq):
+            tetra_idx[k, : len(tq)] = tq
+            tetra_mask[k, : len(tq)] = True
+
+    # device: triangle smoothing once per unique molecule
+    ub_j, lb_j, consistent = triangle_smooth_bounds(
+        jnp.asarray(upper), jnp.asarray(lower), jnp.asarray(atom_mask)
+    )
+    consistent = np.asarray(consistent)
+    fail.smoothing += int((~consistent).sum()) * confs_per_mol
+    ub_np, lb_np = np.asarray(ub_j), np.asarray(lb_j)
+
+    # expand unique molecules -> (mol, conf) systems
+    sys_mol = np.repeat(np.arange(M), confs_per_mol)       # [S]
+    S = len(sys_mol)
+    needed = np.ones(S, bool) & consistent[sys_mol]
+
+    ub_s = jnp.asarray(ub_np[sys_mol])
+    lb_s = jnp.asarray(lb_np[sys_mol])
+    am_s = jnp.asarray(atom_mask[sys_mol])
+    pair_mask = (
+        jnp.asarray(atom_mask[sys_mol])[:, :, None]
+        & jnp.asarray(atom_mask[sys_mol])[:, None, :]
+        & jnp.triu(jnp.ones((A, A), bool), 1)[None]
+    )
+    ub2 = ub_s * ub_s
+    lb2 = lb_s * lb_s
+    ci_s = jnp.asarray(chiral_idx[sys_mol])
+    clb_s = jnp.asarray(chiral_lb[sys_mol])
+    cub_s = jnp.asarray(chiral_ub[sys_mol])
+    cm_s = jnp.asarray(chiral_mask[sys_mol])
+    ti_s = jnp.asarray(tetra_idx[sys_mol])
+    tm_s = jnp.asarray(tetra_mask[sys_mol])
+
+    def eg_first(p):
+        return dg_energy_and_grad(
+            p, ub2, lb2, pair_mask, ci_s, clb_s, cub_s, cm_s, am_s,
+            chiral_weight=params.chiralWeightFirst,
+            fourth_dim_weight=params.fourthDimWeightFirst,
+        )
+
+    def eg_second(p):
+        return dg_energy_and_grad(
+            p, ub2, lb2, pair_mask, ci_s, clb_s, cub_s, cm_s, am_s,
+            chiral_weight=params.chiralWeightSecond,
+            fourth_dim_weight=params.fourthDimWeightSecond,
+        )
+
+    for attempt in range(max_iterations):
+        if not needed.any():
+            break
+        key, k_coords = jax.random.split(key)
+        coords4 = random_distance_matrices(
+            k_coords, ub_s, lb_s, am_s, n_dims=4
+        )  # [S, A, 4]
+
+        res1 = batched_bfgs_minimize(
+            eg_first, coords4, am_s, max_iters=params.firstMinimizeIters
+        )
+        res2 = batched_bfgs_minimize(
+            eg_second, res1.positions, am_s, max_iters=params.fourthDimMinimizeIters
+        )
+        pos3 = res2.positions[..., :3]  # [S, A, 3]
+
+        ok_bounds, ok_chiral, ok_tetra = _check_embeddings(
+            pos3, ub_s, lb_s, pair_mask, ci_s, clb_s, cub_s, cm_s,
+            ti_s, tm_s, params.maxViolationRatio, params.minTetrahedralVolume,
+        )
+        ok_bounds = np.asarray(ok_bounds)
+        ok_chiral = np.asarray(ok_chiral)
+        ok_tetra = np.asarray(ok_tetra)
+        ok = ok_bounds & ok_chiral & ok_tetra
+        fail.bounds_check += int((needed & ~ok_bounds).sum())
+        fail.chiral_check += int((needed & ok_bounds & ~ok_chiral).sum())
+        fail.tetrahedral_check += int(
+            (needed & ok_bounds & ok_chiral & ~ok_tetra).sum()
+        )
+
+        pos_np = np.asarray(pos3)
+        for s in range(S):
+            if needed[s] and ok[s]:
+                k = sys_mol[s]
+                mi = mol_ids[k]
+                ci = s % confs_per_mol
+                na = molecules[mi].num_atoms
+                out_pos[mi, ci, :na] = pos_np[s, :na]
+                out_conf_mask[mi, ci] = True
+                needed[s] = False
+
+
+@jax.jit
+def _check_embeddings(
+    pos3, ub, lb, pair_mask, chiral_idx, chiral_lb, chiral_ub, chiral_mask,
+    tetra_idx, tetra_mask, max_violation_ratio, min_tetra_volume,
+):
+    """Vectorized acceptance checks (the reference's stereochem-check
+    stages, etkdg_stage_stereochem_checks.h)."""
+    S, A, _ = pos3.shape
+    diff = pos3[:, :, None, :] - pos3[:, None, :, :]
+    d = jnp.sqrt(jnp.sum(diff * diff, axis=-1) + 1e-12)
+    ratio_hi = jnp.where(pair_mask, d / jnp.maximum(ub, 1e-6) - 1.0, 0.0)
+    ratio_lo = jnp.where(pair_mask, lb / jnp.maximum(d, 1e-6) - 1.0, 0.0)
+    worst = jnp.maximum(jnp.max(ratio_hi, axis=(1, 2)), jnp.max(ratio_lo, axis=(1, 2)))
+    ok_bounds = worst < max_violation_ratio
+
+    flat = pos3.reshape(S * A, 3)
+
+    def vol(idx):  # [S, K, 4] -> [S, K]
+        K = idx.shape[1]
+        base = (jnp.arange(S)[:, None, None] * A + idx).reshape(S * K * 4)
+        pts = flat[base].reshape(S, K, 4, 3)
+        v1 = pts[:, :, 0] - pts[:, :, 3]
+        v2 = pts[:, :, 1] - pts[:, :, 3]
+        v3 = pts[:, :, 2] - pts[:, :, 3]
+        return jnp.sum(v1 * jnp.cross(v2, v3), axis=-1)
+
+    cvol = vol(chiral_idx)
+    c_ok = (cvol >= chiral_lb) & (cvol <= chiral_ub)
+    ok_chiral = jnp.all(jnp.where(chiral_mask, c_ok, True), axis=1)
+
+    tvol = jnp.abs(vol(tetra_idx))
+    t_ok = tvol > min_tetra_volume
+    ok_tetra = jnp.all(jnp.where(tetra_mask, t_ok, True), axis=1)
+    return ok_bounds, ok_chiral, ok_tetra

@@ -1,0 +1,193 @@
+"""Distance-geometry force field (4-D) and coordinate generation.
+
+TPU-native redesign of the reference's DG stack
+(``src/forcefields/dist_geom.*``, ``src/forcefields/coord_gen.*``,
+``src/symmetric_eigensolver.cu``). Where the reference flattens
+per-pair distance terms into CSR SoA tables, the TPU layout is fully
+dense: bounds live as [S, A, A] matrices, the distance-violation energy
+is one masked matrix expression, and coordinate generation is a batched
+double-centering + eigendecomposition (``jnp.linalg.eigh`` replaces the
+reference's block-per-system power iteration).
+
+Energy terms (matching RDKit's DistGeom contrib forms the reference
+ports at ``dist_geom_kernels.cu``):
+
+  distance violation:  v = d2/ub2 - 1           (d2 > ub2)
+                       v = 2 lb2/(lb2 + d2) - 1 (d2 < lb2)
+                       E = w * v^2
+  chiral volume:       signed volume of 4 centers vs [lb, ub] window,
+                       E = w * violation^2
+  fourth dimension:    E = w4 * x4^2
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# energy
+# ---------------------------------------------------------------------------
+
+def dg_energy(
+    positions: jnp.ndarray,   # [S, A, D] (D=4 during embedding)
+    ub2: jnp.ndarray,         # [S, A, A] squared upper bounds
+    lb2: jnp.ndarray,         # [S, A, A] squared lower bounds
+    pair_mask: jnp.ndarray,   # [S, A, A] bool (i < j, both real)
+    chiral_idx: jnp.ndarray,  # [S, C, 4] int32 (center+3 nbrs or 4 nbrs)
+    chiral_lb: jnp.ndarray,   # [S, C]
+    chiral_ub: jnp.ndarray,   # [S, C]
+    chiral_mask: jnp.ndarray, # [S, C] bool
+    chiral_weight: float,
+    fourth_dim_weight: float,
+) -> jnp.ndarray:
+    S, A, D = positions.shape
+    diff = positions[:, :, None, :] - positions[:, None, :, :]
+    d2 = jnp.sum(diff * diff, axis=-1)  # [S, A, A]
+
+    upper_viol = jnp.where(d2 > ub2, d2 / jnp.maximum(ub2, 1e-8) - 1.0, 0.0)
+    lower_viol = jnp.where(
+        d2 < lb2, 2.0 * lb2 / jnp.maximum(lb2 + d2, 1e-8) - 1.0, 0.0
+    )
+    v = upper_viol + lower_viol
+    e_dist = jnp.sum(jnp.where(pair_mask, v * v, 0.0), axis=(1, 2))
+
+    # chiral volume terms (use only the first 3 spatial dims)
+    p = positions[..., :3]
+    flatp = p.reshape(S * A, 3)
+    C = chiral_idx.shape[1]
+    base = (jnp.arange(S)[:, None, None] * A + chiral_idx).reshape(S * C * 4)
+    pts = flatp[base].reshape(S, C, 4, 3)
+    v1 = pts[:, :, 0] - pts[:, :, 3]
+    v2 = pts[:, :, 1] - pts[:, :, 3]
+    v3 = pts[:, :, 2] - pts[:, :, 3]
+    vol = jnp.sum(v1 * jnp.cross(v2, v3), axis=-1)  # [S, C] (6x signed vol)
+    viol = jnp.where(
+        vol < chiral_lb, chiral_lb - vol, jnp.where(vol > chiral_ub, vol - chiral_ub, 0.0)
+    )
+    e_chiral = chiral_weight * jnp.sum(
+        jnp.where(chiral_mask, viol * viol, 0.0), axis=1
+    )
+
+    if D > 3:
+        x4 = positions[..., 3]
+        e_fourth = fourth_dim_weight * jnp.sum(x4 * x4, axis=1)
+    else:
+        e_fourth = 0.0
+    return e_dist + e_chiral + e_fourth
+
+
+@functools.partial(jax.jit, static_argnames=("chiral_weight", "fourth_dim_weight"))
+def dg_energy_and_grad(
+    positions, ub2, lb2, pair_mask, chiral_idx, chiral_lb, chiral_ub,
+    chiral_mask, atom_mask, *, chiral_weight: float, fourth_dim_weight: float,
+):
+    def total(p):
+        e = dg_energy(
+            p, ub2, lb2, pair_mask, chiral_idx, chiral_lb, chiral_ub,
+            chiral_mask, chiral_weight, fourth_dim_weight,
+        )
+        return jnp.sum(e), e
+
+    (_, e), g = jax.value_and_grad(total, has_aux=True)(positions)
+    g = jnp.where(atom_mask[..., None], g, 0.0)
+    return e, g
+
+
+# ---------------------------------------------------------------------------
+# coordinate generation
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("n_dims",))
+def random_distance_matrices(
+    key: jax.Array,
+    upper: jnp.ndarray,       # [S, A, A]
+    lower: jnp.ndarray,       # [S, A, A]
+    atom_mask: jnp.ndarray,   # [S, A]
+    *,
+    n_dims: int = 4,
+):
+    """Sample symmetric distance matrices uniformly within bounds and
+    project them to initial coordinates via the metric matrix.
+
+    The reference does the sampling on CPU (RDKit ``pickRandomDistMat``)
+    and projects with a custom batched power eigensolver
+    (``coord_gen.cu:55-100``); here both run on device: double centering
+    -> ``eigh`` -> coords = V sqrt(max(lambda, 0)), with random
+    components where eigenvalues are non-positive (matching the
+    reference's negative-eigenvalue randomization).
+    """
+    S, A, _ = upper.shape
+    k_d, k_neg = jax.random.split(key)
+    u = jax.random.uniform(k_d, (S, A, A))
+    u = jnp.triu(u, 1)
+    u = u + jnp.swapaxes(u, 1, 2)  # symmetric uniforms
+    d = lower + u * (upper - lower)
+    d = jnp.where(jnp.eye(A, dtype=bool), 0.0, d)
+    pair_mask = atom_mask[:, :, None] & atom_mask[:, None, :]
+    d = jnp.where(pair_mask, d, 0.0)
+
+    # metric matrix via double centering: G = -0.5 (D2 - row - col + grand)
+    d2 = d * d
+    n_real = jnp.maximum(atom_mask.sum(axis=1), 1).astype(d2.dtype)[:, None, None]
+    row = jnp.sum(d2, axis=2, keepdims=True) / n_real
+    col = jnp.sum(d2, axis=1, keepdims=True) / n_real
+    grand = jnp.sum(d2, axis=(1, 2), keepdims=True) / (n_real * n_real)
+    g = -0.5 * (d2 - row - col + grand)
+    g = jnp.where(pair_mask, g, 0.0)
+
+    evals, evecs = jnp.linalg.eigh(g)  # ascending
+    top_vals = evals[:, -n_dims:][:, ::-1]          # [S, n_dims] descending
+    top_vecs = evecs[:, :, -n_dims:][:, :, ::-1]    # [S, A, n_dims]
+    scale = jnp.sqrt(jnp.maximum(top_vals, 0.0))
+    coords = top_vecs * scale[:, None, :]
+    # non-positive eigenvalues: random small components (reference
+    # randomizes those entries, symmetric_eigensolver.cu)
+    rand = (jax.random.uniform(k_neg, coords.shape) - 0.5) * 1.0
+    coords = jnp.where((top_vals > 1e-6)[:, None, :], coords, rand)
+    coords = jnp.where(atom_mask[..., None], coords, 0.0)
+    return coords
+
+
+def build_chiral_sets(mol) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Chiral volume constraints from parsed @/@@ tags.
+
+    Returns (idx [C,4], lb [C], ub [C]). For a tagged tetrahedral atom
+    the four reference points are its neighbors (implicit-H centers use
+    the center atom itself as the fourth point). Volume windows are
+    [-limit, -5] or [5, limit] following RDKit's chiral-set convention.
+    """
+    from nvmolkit_tpu.chem.mol import ChiralTag
+
+    idx, lbs, ubs = [], [], []
+    for i, atom in enumerate(mol.atoms):
+        if atom.chiral_tag == ChiralTag.NONE:
+            continue
+        nbrs = mol.neighbors(i)
+        if len(nbrs) < 3 or len(nbrs) > 4:
+            continue
+        pts = list(nbrs[:4])
+        if len(pts) == 3:
+            pts = [pts[0], pts[1], pts[2], i]
+        # @ (CCW) -> positive volume with neighbor order as parsed
+        if atom.chiral_tag == ChiralTag.CCW:
+            lbs.append(1.0)
+            ubs.append(100.0)
+        else:
+            lbs.append(-100.0)
+            ubs.append(-1.0)
+        idx.append(pts)
+    if not idx:
+        return (
+            np.zeros((0, 4), np.int32),
+            np.zeros(0, np.float32),
+            np.zeros(0, np.float32),
+        )
+    return (
+        np.asarray(idx, np.int32),
+        np.asarray(lbs, np.float32),
+        np.asarray(ubs, np.float32),
+    )

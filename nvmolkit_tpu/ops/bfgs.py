@@ -130,27 +130,27 @@ def _line_search(energy_fn, pos, e0, grad, direction, active):
 
 def batched_bfgs_minimize(
     energy_and_grad_fn: Callable,
-    positions: jnp.ndarray,  # [S, A, 3]
+    positions: jnp.ndarray,  # [S, A, D] (D=3, or 4 for distance-geometry)
     atom_mask: jnp.ndarray,  # [S, A] bool
     max_iters: int = 200,
     grad_tol: float = 1e-4,
 ) -> BfgsResult:
     """Minimize each system's energy with batched BFGS.
 
-    ``energy_and_grad_fn(pos [S, A, 3]) -> ([S], [S, A, 3])`` must be a
+    ``energy_and_grad_fn(pos [S, A, D]) -> ([S], [S, A, D])`` must be a
     pure jittable function with masked atoms contributing zero gradient.
     """
-    S, A, _ = positions.shape
-    N = 3 * A
-    dof_mask = jnp.repeat(atom_mask, 3, axis=1).reshape(S, N)
+    S, A, D = positions.shape
+    N = D * A
+    dof_mask = jnp.repeat(atom_mask, D, axis=1).reshape(S, N)
     n_dof = dof_mask.sum(axis=1).astype(positions.dtype)
 
     def e_flat(p_flat):
-        e, _ = energy_and_grad_fn(p_flat.reshape(S, A, 3))
+        e, _ = energy_and_grad_fn(p_flat.reshape(S, A, D))
         return e
 
     def eg_flat(p_flat):
-        e, g = energy_and_grad_fn(p_flat.reshape(S, A, 3))
+        e, g = energy_and_grad_fn(p_flat.reshape(S, A, D))
         return e, g.reshape(S, N)
 
     pos0 = positions.reshape(S, N)
@@ -234,7 +234,7 @@ def batched_bfgs_minimize(
     )
     pos, e, grad, hess, converged, failed, it, _ = jax.lax.while_loop(cond, body, st0)
     return BfgsResult(
-        positions=pos.reshape(S, A, 3),
+        positions=pos.reshape(S, A, D),
         energies=e,
         converged=converged,
         n_iters=it,

@@ -1,0 +1,128 @@
+"""ETKDG embedding pipeline tests.
+
+Mirrors the reference's embedding validation strategy
+(``testutils/conformer_checkers``: bounds satisfaction + chirality
+preservation; ``test_embed_molecules.py``: conformer counts).
+"""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from nvmolkit_tpu.chem import mol_from_smiles
+from nvmolkit_tpu.chem.bounds import topological_bounds
+from nvmolkit_tpu.embedMolecules import (
+    EmbedFailureCounts,
+    EmbedMolecules,
+    EmbedParameters,
+)
+from nvmolkit_tpu.ops.triangle_smooth import triangle_smooth_bounds
+
+
+def test_triangle_smoothing_chain():
+    # 3-atom chain: bounds 1-2 and 2-3 exact, 1-3 must tighten to <= sum
+    upper = np.full((1, 4, 4), 1000.0, np.float32)
+    lower = np.zeros((1, 4, 4), np.float32)
+    for i, j, d in [(0, 1, 1.5), (1, 2, 1.5)]:
+        upper[0, i, j] = upper[0, j, i] = d
+        lower[0, i, j] = lower[0, j, i] = d
+    np.fill_diagonal(upper[0], 0)
+    mask = np.zeros((1, 4), bool)
+    mask[0, :3] = True
+    ub, lb, ok = triangle_smooth_bounds(
+        jnp.asarray(upper), jnp.asarray(lower), jnp.asarray(mask)
+    )
+    assert bool(ok[0])
+    assert float(ub[0, 0, 2]) == pytest.approx(3.0, abs=1e-4)
+    assert float(lb[0, 0, 2]) >= 0.0
+
+
+def test_triangle_smoothing_detects_inconsistency():
+    upper = np.full((1, 3, 3), 1000.0, np.float32)
+    lower = np.zeros((1, 3, 3), np.float32)
+    # 1-2 and 2-3 short, but 1-3 lower bound huge -> inconsistent
+    for i, j, d in [(0, 1, 1.0), (1, 2, 1.0)]:
+        upper[0, i, j] = upper[0, j, i] = d
+        lower[0, i, j] = lower[0, j, i] = d
+    lower[0, 0, 2] = lower[0, 2, 0] = 10.0
+    np.fill_diagonal(upper[0], 0)
+    mask = np.ones((1, 3), bool)
+    _, _, ok = triangle_smooth_bounds(
+        jnp.asarray(upper), jnp.asarray(lower), jnp.asarray(mask)
+    )
+    assert not bool(ok[0])
+
+
+def test_bounds_matrix_sane():
+    m = mol_from_smiles("CCO")
+    u, l = topological_bounds(m)
+    assert u.shape == (3, 3)
+    # 1-2 bounds bracket the natural bond length ~1.4-1.5
+    assert 1.3 < l[0, 1] < u[0, 1] < 1.7
+    # 1-3 wider than 1-2
+    assert u[0, 2] > u[0, 1]
+    assert (l <= u + 1e-6).all()
+
+
+def _bond_length_errors(m, pos):
+    from nvmolkit_tpu.models.uff.builder import build_uff_terms
+
+    terms = build_uff_terms(m)
+    errs = []
+    for t in range(terms.bonds.n_terms):
+        i, j = terms.bonds.atoms[t]
+        r = np.linalg.norm(pos[i] - pos[j])
+        errs.append(abs(r - terms.bonds.params["r0"][t]))
+    return np.asarray(errs)
+
+
+@pytest.mark.parametrize("smiles", ["CCO", "CCCC", "c1ccccc1", "CC(C)CO"])
+def test_embed_single_molecules(smiles):
+    m = mol_from_smiles(smiles)
+    res = EmbedMolecules([m], confsPerMolecule=2, maxIterations=15)
+    cm = np.asarray(res.conf_mask)
+    assert cm.sum() >= 1, f"no conformer embedded for {smiles}"
+    assert len(m.conformers) == cm.sum()
+    # embedded geometry respects bonds within ~15%
+    pos = m.conformers[0]
+    errs = _bond_length_errors(m, pos)
+    assert errs.max() < 0.25, f"bond errors {errs}"
+
+
+def test_embed_batch_counts():
+    smiles = ["CCO", "CCN", "CCC", "c1ccncc1"]
+    mols = [mol_from_smiles(s) for s in smiles]
+    fails = EmbedFailureCounts()
+    res = EmbedMolecules(mols, confsPerMolecule=3, maxIterations=15, failures=fails)
+    cm = np.asarray(res.conf_mask)
+    assert cm.shape == (4, 3)
+    # embedding these small molecules should mostly succeed
+    assert cm.sum() >= 8
+    per_mol = res.per_molecule()
+    for mi, m in enumerate(mols):
+        assert len(per_mol[mi]) == cm[mi].sum()
+
+
+def test_embed_chirality_preserved():
+    m = mol_from_smiles("C[C@H](N)C(=O)O")  # L-alanine-like
+    res = EmbedMolecules([m], confsPerMolecule=4, maxIterations=20)
+    cm = np.asarray(res.conf_mask)
+    assert cm.sum() >= 1
+    # all embedded conformers have the same chiral volume sign
+    from nvmolkit_tpu.models.dist_geom import build_chiral_sets
+
+    cidx, clb, cub = build_chiral_sets(m)
+    assert len(cidx) == 1
+    signs = []
+    for conf in m.conformers:
+        pts = conf[cidx[0]]
+        v = np.dot(pts[0] - pts[3], np.cross(pts[1] - pts[3], pts[2] - pts[3]))
+        signs.append(np.sign(v))
+        assert clb[0] <= v <= cub[0]
+    assert len(set(signs)) == 1
+
+
+def test_embed_rejects_nonrandom_coords():
+    m = mol_from_smiles("CC")
+    with pytest.raises(ValueError):
+        EmbedMolecules([m], params=EmbedParameters(useRandomCoords=False))
