@@ -98,6 +98,35 @@ class _BatchedForcefieldBase:
         return AsyncResult(res.energies), AsyncResult(res.converged)
 
 
+class MMFFBatchedForcefield(_BatchedForcefieldBase):
+    """Batched MMFF94 force field over molecules with conformers."""
+
+    def __init__(
+        self,
+        molecules: list[Mol],
+        properties=None,
+        provider=None,
+        hardwareOptions: HardwareOptions | None = None,
+    ):
+        from nvmolkit_tpu.models.mmff import MMFFProperties
+
+        self.properties = properties or MMFFProperties()
+        self.provider = provider
+        super().__init__(molecules, hardwareOptions)
+
+    def _build_batch(self, sys_mols):
+        from nvmolkit_tpu.models.mmff import make_batched_mmff
+
+        return make_batched_mmff(
+            sys_mols, self.max_atoms, self.properties, provider=self.provider
+        )
+
+    def _energy_and_grad(self, positions, batch):
+        from nvmolkit_tpu.models.mmff import mmff_energy_and_grad
+
+        return mmff_energy_and_grad(positions, batch)
+
+
 class UFFBatchedForcefield(_BatchedForcefieldBase):
     """Batched UFF force field over molecules with conformers."""
 
