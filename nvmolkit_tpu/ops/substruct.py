@@ -1,0 +1,232 @@
+"""Substructure matching: vectorized label painting + BFS join.
+
+TPU-native reinterpretation of the reference's substructure engine
+(``src/substruct/``): SMARTS predicate trees are evaluated as VECTOR
+programs over whole-molecule feature arrays (the role of
+``graph_labeler.cuh`` + ``boolean_tree.cuh`` — one boolean vector per
+query atom instead of one thread per (atom, atom) pair), producing the
+candidate label matrix. Matching extends partial assignments level by
+level over the query's BFS order — the reference's GSI BFS join
+(``substruct_algos.cuh:255-430``) — with the whole frontier stored as a
+dense [P, k] array so every extension step is a few vectorized gathers.
+
+The join runs on host numpy: with label-matrix pruning the frontier is
+tiny for real queries, and the reference itself drains hard cases to a
+CPU fallback (``substruct_search_internal.h:200-259``). Overflowing
+frontiers are truncated and flagged.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from nvmolkit_tpu.chem.mol import BondType, Mol
+from nvmolkit_tpu.chem.smarts import AND, LEAF, NOT, OR, Expr, QueryMol
+
+MAX_FRONTIER = 1 << 16
+
+
+@dataclasses.dataclass
+class TargetFeatures:
+    """Flat per-atom/per-bond feature arrays for one target molecule."""
+
+    feats: dict[str, np.ndarray]
+    adj_kind: np.ndarray      # [n, n] int8: 0 none, BondType value otherwise
+    adj_ring: np.ndarray      # [n, n] bool
+    n_atoms: int
+
+
+def featurize_target(mol: Mol) -> TargetFeatures:
+    arrays = mol.to_arrays()
+    n = mol.num_atoms
+    total_hs = arrays["total_hs"]
+    degree = arrays["degree"]
+    valence = np.zeros(n, np.int32)
+    ring_bonds = np.zeros(n, np.int32)
+    adj_kind = np.zeros((n, n), np.int8)
+    adj_ring = np.zeros((n, n), bool)
+    for b in mol.bonds:
+        i, j = b.begin, b.end
+        adj_kind[i, j] = adj_kind[j, i] = int(b.bond_type)
+        adj_ring[i, j] = adj_ring[j, i] = b.in_ring
+        order = 2 if b.bond_type == BondType.DOUBLE else (
+            3 if b.bond_type == BondType.TRIPLE else 1
+        )
+        valence[i] += order
+        valence[j] += order
+        if b.in_ring:
+            ring_bonds[i] += 1
+            ring_bonds[j] += 1
+    feats = {
+        "atomic_num": arrays["atomic_num"],
+        "is_aromatic": arrays["is_aromatic"],
+        "charge": arrays["charge"],
+        "degree": degree,
+        "connections": degree + total_hs,
+        "total_hs": total_hs,
+        "implicit_hs": np.asarray([a.implicit_hs for a in mol.atoms], np.int32),
+        "in_ring": arrays["in_ring"],
+        "min_ring_size": np.asarray(
+            [a.min_ring_size for a in mol.atoms], np.int32
+        ),
+        "ring_bonds": ring_bonds,
+        "valence": valence + total_hs,
+        "isotope": arrays["isotope"],
+    }
+    return TargetFeatures(feats=feats, adj_kind=adj_kind, adj_ring=adj_ring, n_atoms=n)
+
+
+def _eval_expr(expr: Expr, tf: TargetFeatures) -> np.ndarray:
+    """Vectorized predicate: [n_atoms] bool."""
+    if expr.kind == LEAF:
+        if expr.prop == "true":
+            return np.ones(tf.n_atoms, bool)
+        if expr.prop == "recursive":
+            return _recursive_roots(expr.pattern, tf)
+        if expr.prop == "is_aromatic":
+            return tf.feats["is_aromatic"].astype(bool) == bool(expr.value)
+        if expr.prop == "in_ring":
+            return tf.feats["in_ring"].astype(bool) == bool(expr.value)
+        return tf.feats[expr.prop] == expr.value
+    if expr.kind == NOT:
+        return ~_eval_expr(expr.children[0], tf)
+    vals = [_eval_expr(c, tf) for c in expr.children]
+    out = vals[0]
+    for v in vals[1:]:
+        out = (out & v) if expr.kind == AND else (out | v)
+    return out
+
+
+def label_matrix(query: QueryMol, tf: TargetFeatures) -> np.ndarray:
+    """[n_target_atoms, n_query_atoms] candidate matrix."""
+    cols = [_eval_expr(a.expr, tf) for a in query.atoms]
+    return np.stack(cols, axis=1) if cols else np.zeros((tf.n_atoms, 0), bool)
+
+
+def _bond_ok_matrix(qbond, tf: TargetFeatures) -> np.ndarray:
+    """[n, n] bool: target bond satisfies the query bond expression."""
+    exists = tf.adj_kind != 0
+    if "any" in qbond.kinds:
+        cond = exists
+    else:
+        cond = np.zeros_like(exists)
+        for k in qbond.kinds:
+            if k == "ring":
+                cond |= tf.adj_ring
+            else:
+                code = {"single": 1, "double": 2, "triple": 3, "aromatic": 4}[k]
+                cond |= tf.adj_kind == code
+    if qbond.negate:
+        return exists & ~cond
+    return cond
+
+
+def _bfs_order(query: QueryMol, labels: np.ndarray) -> list[tuple[int, list[tuple[int, int]]]]:
+    """Query traversal order: (query_atom, [(placed_slot, bond_idx)]).
+
+    Starts at the atom with fewest candidates; assumes a connected
+    query (disconnected SMARTS raise)."""
+    nq = query.num_atoms
+    counts = labels.sum(axis=0)
+    start = int(np.argmin(counts))
+    placed: dict[int, int] = {start: 0}
+    order = [(start, [])]
+    frontier = [start]
+    while len(placed) < nq:
+        nxt = None
+        for q in range(nq):
+            if q in placed:
+                continue
+            back = [
+                (placed[nb], bi)
+                for nb, bi in query.neighbors(q)
+                if nb in placed
+            ]
+            if back:
+                nxt = (q, back)
+                break
+        if nxt is None:
+            raise ValueError(
+                f"disconnected SMARTS pattern '{query.smarts}' is not supported"
+            )
+        placed[nxt[0]] = len(placed)
+        order.append(nxt)
+        frontier.append(nxt[0])
+    return order
+
+
+def find_matches(
+    query: QueryMol,
+    tf: TargetFeatures,
+    max_matches: int = 10000,
+    uniquify: bool = True,
+) -> tuple[np.ndarray, bool]:
+    """All matches as [M, n_query_atoms] target-atom indices.
+
+    Returns (matches, overflowed). Column q holds the target atom mapped
+    to query atom q. ``uniquify`` dedups by matched atom set (RDKit
+    semantics).
+    """
+    nq = query.num_atoms
+    labels = label_matrix(query, tf)
+    if labels.size == 0 or not labels.any():
+        return np.zeros((0, nq), np.int32), False
+
+    order = _bfs_order(query, labels)
+    bond_mats = {bi: _bond_ok_matrix(b, tf) for bi, b in enumerate(query.bonds)}
+
+    q0 = order[0][0]
+    frontier = np.nonzero(labels[:, q0])[0][:, None].astype(np.int32)  # [P, 1]
+    overflow = False
+    for q, back in order[1:]:
+        if frontier.shape[0] == 0:
+            break
+        cand = labels[:, q][None, :]  # [1, nt]
+        ok = np.broadcast_to(cand, (frontier.shape[0], tf.n_atoms)).copy()
+        for slot, bi in back:
+            ok &= bond_mats[bi][frontier[:, slot], :]
+        # injectivity: exclude already-used targets
+        for slot in range(frontier.shape[1]):
+            ok[np.arange(frontier.shape[0]), frontier[:, slot]] = False
+        p_idx, t_idx = np.nonzero(ok)
+        if len(p_idx) > MAX_FRONTIER:
+            p_idx, t_idx = p_idx[:MAX_FRONTIER], t_idx[:MAX_FRONTIER]
+            overflow = True
+        frontier = np.concatenate(
+            [frontier[p_idx], t_idx[:, None].astype(np.int32)], axis=1
+        )
+
+    if frontier.shape[1] < nq:
+        return np.zeros((0, nq), np.int32), overflow
+
+    # columns currently in traversal order -> reorder to query-atom order
+    perm = np.empty(nq, np.int64)
+    for slot, (q, _) in enumerate(order):
+        perm[q] = slot
+    matches = frontier[:, perm]
+
+    if uniquify and len(matches):
+        seen: set[frozenset] = set()
+        keep = []
+        for r, row in enumerate(matches):
+            key = frozenset(row.tolist())
+            if key not in seen:
+                seen.add(key)
+                keep.append(r)
+        matches = matches[keep]
+    if len(matches) > max_matches:
+        matches = matches[:max_matches]
+        overflow = True
+    return matches, overflow
+
+
+def _recursive_roots(pattern: QueryMol, tf: TargetFeatures) -> np.ndarray:
+    """[n] bool: atoms where the recursive pattern matches rooted at
+    query atom 0 (the reference evaluates these leaf-first,
+    ``recursive_preprocessor.cu``)."""
+    matches, _ = find_matches(pattern, tf, max_matches=MAX_FRONTIER, uniquify=False)
+    out = np.zeros(tf.n_atoms, bool)
+    if len(matches):
+        out[np.unique(matches[:, 0])] = True
+    return out

@@ -1,0 +1,128 @@
+"""Batch substructure search — public API.
+
+Mirrors the reference's ``nvmolkit/substructure.py``:
+``getSubstructMatches(targets, queries, config)`` returns a
+:class:`SubstructMatchResults` CSR triple (atom_indices / match_indptr /
+pair_indptr) over the (target x query) grid, plus ``countSubstructMatches``
+and ``hasSubstructMatch`` reductions and a ``SubstructSearchConfig``
+mirroring ``substruct_results.h:36-43``.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from nvmolkit_tpu.chem.mol import Mol
+from nvmolkit_tpu.chem.smarts import QueryMol, parse_smarts
+from nvmolkit_tpu.ops.substruct import featurize_target, find_matches
+
+
+@dataclasses.dataclass
+class SubstructSearchConfig:
+    """Mirror of the reference config (``substruct_results.h:36-43``).
+
+    Threading fields are accepted for parity; the numpy join is
+    single-process (the batching knobs become meaningful once the join
+    moves on-device)."""
+
+    batchSize: int = 1024
+    workerThreads: int = -1
+    preprocessingThreads: int = -1
+    executorsPerRunner: int = 2
+    deviceIds: list[int] = dataclasses.field(default_factory=list)
+    maxMatches: int = 10000
+    uniquify: bool = True
+
+
+@dataclasses.dataclass
+class SubstructMatchResults:
+    """CSR triple over the (target, query) grid, pair index
+    ``p = target_idx * n_queries + query_idx``:
+
+      atom_indices  flat target-atom ids of every match, query-atom order
+      match_indptr  [n_matches+1] start of each match in atom_indices
+      pair_indptr   [n_pairs+1]   start of each pair's matches in
+                    match_indptr
+    """
+
+    atom_indices: np.ndarray
+    match_indptr: np.ndarray
+    pair_indptr: np.ndarray
+    n_targets: int
+    n_queries: int
+    overflowed: list[tuple[int, int]]
+
+    def matches(self, target_idx: int, query_idx: int) -> list[tuple[int, ...]]:
+        p = target_idx * self.n_queries + query_idx
+        out = []
+        for m in range(self.pair_indptr[p], self.pair_indptr[p + 1]):
+            s, e = self.match_indptr[m], self.match_indptr[m + 1]
+            out.append(tuple(self.atom_indices[s:e].tolist()))
+        return out
+
+    def counts(self) -> np.ndarray:
+        """[n_targets, n_queries] match counts."""
+        per_pair = np.diff(self.pair_indptr)
+        return per_pair.reshape(self.n_targets, self.n_queries)
+
+
+def _as_query(q) -> QueryMol:
+    if isinstance(q, QueryMol):
+        return q
+    if isinstance(q, str):
+        return parse_smarts(q)
+    raise TypeError(f"query must be a SMARTS string or QueryMol, got {type(q)}")
+
+
+def getSubstructMatches(
+    targets: list[Mol],
+    queries: list,
+    config: SubstructSearchConfig | None = None,
+) -> SubstructMatchResults:
+    cfg = config or SubstructSearchConfig()
+    qmols = [_as_query(q) for q in queries]
+    tfs = [featurize_target(t) for t in targets]
+
+    atom_indices: list[np.ndarray] = []
+    match_indptr = [0]
+    pair_indptr = [0]
+    overflowed: list[tuple[int, int]] = []
+    cursor_atoms = 0
+    for ti, tf in enumerate(tfs):
+        for qi, q in enumerate(qmols):
+            m, over = find_matches(
+                q, tf, max_matches=cfg.maxMatches, uniquify=cfg.uniquify
+            )
+            if over:
+                overflowed.append((ti, qi))
+            for row in m:
+                atom_indices.append(row)
+                cursor_atoms += len(row)
+                match_indptr.append(cursor_atoms)
+            pair_indptr.append(len(match_indptr) - 1)
+
+    return SubstructMatchResults(
+        atom_indices=(
+            np.concatenate(atom_indices) if atom_indices else np.zeros(0, np.int32)
+        ),
+        match_indptr=np.asarray(match_indptr, np.int64),
+        pair_indptr=np.asarray(pair_indptr, np.int64),
+        n_targets=len(targets),
+        n_queries=len(qmols),
+        overflowed=overflowed,
+    )
+
+
+def countSubstructMatches(
+    targets: list[Mol], queries: list, config: SubstructSearchConfig | None = None
+) -> np.ndarray:
+    return getSubstructMatches(targets, queries, config).counts()
+
+
+def hasSubstructMatch(
+    targets: list[Mol], queries: list, config: SubstructSearchConfig | None = None
+) -> np.ndarray:
+    cfg = config or SubstructSearchConfig()
+    cfg = dataclasses.replace(cfg, maxMatches=1)
+    return getSubstructMatches(targets, queries, cfg).counts() > 0
