@@ -10,12 +10,74 @@ from __future__ import annotations
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from nvmolkit_tpu.chem.mol import Mol
+from nvmolkit_tpu.models.constraints import (
+    PerSystemConstraints,
+    build_constraint_batch,
+    constraint_energy,
+)
 from nvmolkit_tpu.ops.bfgs import batched_bfgs_minimize
 from nvmolkit_tpu.types import AsyncResult
 from nvmolkit_tpu.utils.config import HardwareOptions
+
+
+class _SystemConstraintView:
+    """Per-system constraint editing view (the reference's per-molecule
+    element views, ``batchedForcefield.py:171-289``)."""
+
+    def __init__(self, parent: "_BatchedForcefieldBase", sys_idx: int):
+        self._parent = parent
+        self._idx = sys_idx
+
+    def _check_atoms(self, *atoms):
+        mi, _ = self._parent.systems[self._idx]
+        n = self._parent.molecules[mi].num_atoms
+        for a in atoms:
+            if not (0 <= a < n):
+                raise ValueError(f"atom index {a} out of range (molecule has {n})")
+
+    def add_distance_constraint(
+        self, idx1: int, idx2: int, minLen: float, maxLen: float,
+        forceConstant: float, relative: bool = False,
+    ) -> None:
+        self._check_atoms(idx1, idx2)
+        self._parent._constraints[self._idx].distance.append(
+            (idx1, idx2, minLen, maxLen, forceConstant, relative)
+        )
+        self._parent._constraints_dirty = True
+
+    def add_position_constraint(
+        self, idx: int, maxDispl: float, forceConstant: float
+    ) -> None:
+        self._check_atoms(idx)
+        self._parent._constraints[self._idx].position.append(
+            (idx, maxDispl, forceConstant)
+        )
+        self._parent._constraints_dirty = True
+
+    def add_angle_constraint(
+        self, idx1: int, idx2: int, idx3: int, minAngleDeg: float,
+        maxAngleDeg: float, forceConstant: float, relative: bool = False,
+    ) -> None:
+        self._check_atoms(idx1, idx2, idx3)
+        self._parent._constraints[self._idx].angle.append(
+            (idx1, idx2, idx3, minAngleDeg, maxAngleDeg, forceConstant, relative)
+        )
+        self._parent._constraints_dirty = True
+
+    def add_torsion_constraint(
+        self, idx1: int, idx2: int, idx3: int, idx4: int, minDihedralDeg: float,
+        maxDihedralDeg: float, forceConstant: float, relative: bool = False,
+    ) -> None:
+        self._check_atoms(idx1, idx2, idx3, idx4)
+        self._parent._constraints[self._idx].torsion.append(
+            (idx1, idx2, idx3, idx4, minDihedralDeg, maxDihedralDeg,
+             forceConstant, relative)
+        )
+        self._parent._constraints_dirty = True
 
 
 class _BatchedForcefieldBase:
@@ -50,6 +112,9 @@ class _BatchedForcefieldBase:
             pos[k, : m.num_atoms] = m.conformers[ci]
         self._positions = jnp.asarray(pos)
         self._batch = self._build_batch([molecules[mi] for mi, _ in self.systems])
+        self._constraints = [PerSystemConstraints() for _ in self.systems]
+        self._constraints_dirty = False
+        self._constraint_batch = None
 
     # subclass hooks -------------------------------------------------------
     def _build_batch(self, sys_mols: list[Mol]):
@@ -57,6 +122,43 @@ class _BatchedForcefieldBase:
 
     def _energy_and_grad(self, positions, batch):
         raise NotImplementedError
+
+    # constraints ----------------------------------------------------------
+    def __getitem__(self, sys_idx: int) -> _SystemConstraintView:
+        if not (0 <= sys_idx < len(self.systems)):
+            raise IndexError(f"system index {sys_idx} out of range")
+        return _SystemConstraintView(self, sys_idx)
+
+    def _constraint_energy_fn(self):
+        """None when no constraints, else jitted extra-energy closure.
+
+        Rebuilt lazily when constraint lists changed (the reference's
+        dirty-rebuild, ``batchedForcefield.py:385-400``); relative
+        windows resolve against the positions current at rebuild time.
+        """
+        if all(c.empty() for c in self._constraints):
+            return None
+        if self._constraints_dirty or self._constraint_batch is None:
+            self._constraint_batch = build_constraint_batch(
+                self._constraints, np.asarray(self._positions)
+            )
+            self._constraints_dirty = False
+        cb = self._constraint_batch
+        return lambda p: constraint_energy(p, cb)
+
+    def _full_energy_and_grad(self):
+        cfn = self._constraint_energy_fn()
+        batch = self._batch
+        if cfn is None:
+            return lambda p: self._energy_and_grad(p, batch)
+
+        def eg(p):
+            e, g = self._energy_and_grad(p, batch)
+            ce, cg = jax.value_and_grad(lambda q: jnp.sum(cfn(q)))(p)
+            del ce
+            return e + cfn(p), g + cg
+
+        return eg
 
     # public API -----------------------------------------------------------
     @property
@@ -73,20 +175,18 @@ class _BatchedForcefieldBase:
         self._positions = positions
 
     def compute_energy(self) -> AsyncResult:
-        """Per-system energies [n_systems]."""
-        e, _ = self._energy_and_grad(self._positions, self._batch)
+        """Per-system energies [n_systems] (constraints included)."""
+        e, _ = self._full_energy_and_grad()(self._positions)
         return AsyncResult(e)
 
     def compute_gradients(self) -> AsyncResult:
         """Per-system gradients [n_systems, max_atoms, 3] (padded rows 0)."""
-        _, g = self._energy_and_grad(self._positions, self._batch)
+        _, g = self._full_energy_and_grad()(self._positions)
         return AsyncResult(g)
 
     def minimize(self, maxIters: int = 200, forceTol: float = 1e-4):
         """Minimize all systems in place; returns (energies, converged)."""
-        def eg(p):
-            return self._energy_and_grad(p, self._batch)
-
+        eg = self._full_energy_and_grad()
         res = batched_bfgs_minimize(
             eg,
             self._positions,
