@@ -1,0 +1,152 @@
+"""ctypes bindings for the native batch molecule-graph compiler.
+
+Loads (building on first use) ``csrc/libnvmolgraph.so`` — the C++
+thread-pooled SMILES->graph compiler that replaces the reference's
+host-side C++ preprocessing layer. Falls back to the pure-Python parser
+transparently when the toolchain is unavailable;
+``mols_from_smiles(..., backend=...)`` selects explicitly.
+"""
+from __future__ import annotations
+
+import ctypes
+import pathlib
+import subprocess
+
+import numpy as np
+
+from nvmolkit_tpu.chem.mol import Atom, Bond, BondType, Mol
+from nvmolkit_tpu.chem.mol import ChiralTag
+
+_CSRC = pathlib.Path(__file__).resolve().parents[2] / "csrc"
+_LIB_PATH = _CSRC / "libnvmolgraph.so"
+_lib = None
+_load_error: str | None = None
+
+
+def _load():
+    global _lib, _load_error
+    if _lib is not None or _load_error is not None:
+        return _lib
+    try:
+        if not _LIB_PATH.exists() or (
+            _LIB_PATH.stat().st_mtime < (_CSRC / "mol_graph.cpp").stat().st_mtime
+        ):
+            subprocess.run(
+                ["make", "-C", str(_CSRC)], check=True, capture_output=True
+            )
+        lib = ctypes.CDLL(str(_LIB_PATH))
+        lib.nvmk_parse_batch.restype = ctypes.c_void_p
+        lib.nvmk_parse_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.c_int32,
+            ctypes.c_int32,
+        ]
+        lib.nvmk_free.argtypes = [ctypes.c_void_p]
+        lib.nvmk_num_atoms.restype = ctypes.c_int32
+        lib.nvmk_num_atoms.argtypes = [ctypes.c_void_p, ctypes.c_int32]
+        lib.nvmk_num_bonds.restype = ctypes.c_int32
+        lib.nvmk_num_bonds.argtypes = [ctypes.c_void_p, ctypes.c_int32]
+        lib.nvmk_error.restype = ctypes.c_char_p
+        lib.nvmk_error.argtypes = [ctypes.c_void_p, ctypes.c_int32]
+        ptr = ctypes.POINTER(ctypes.c_int32)
+        lib.nvmk_get_atoms.argtypes = [ctypes.c_void_p, ctypes.c_int32] + [ptr] * 12
+        lib.nvmk_get_bonds.argtypes = [ctypes.c_void_p, ctypes.c_int32] + [ptr] * 3
+        _lib = lib
+    except Exception as e:  # missing toolchain, load failure, ...
+        _load_error = str(e)
+        _lib = None
+    return _lib
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+def mols_from_smiles_native(
+    smiles: list[str], n_threads: int = 0, strict: bool = True
+) -> list[Mol | None]:
+    """Parse a batch of SMILES with the native compiler.
+
+    Returns Mol objects (graph fully perceived — rings, implicit Hs).
+    ``strict=False`` yields None for unparseable entries instead of
+    raising.
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native mol graph library unavailable: {_load_error}")
+    arr = (ctypes.c_char_p * len(smiles))(*[s.encode() for s in smiles])
+    handle = lib.nvmk_parse_batch(arr, len(smiles), n_threads)
+    if not handle:
+        raise RuntimeError("nvmk_parse_batch failed")
+    try:
+        out: list[Mol | None] = []
+        for k, smi in enumerate(smiles):
+            na = lib.nvmk_num_atoms(handle, k)
+            if na < 0:
+                err = lib.nvmk_error(handle, k)
+                msg = err.decode() if err else "parse error"
+                if strict:
+                    raise ValueError(f"SMILES {smi!r}: {msg}")
+                out.append(None)
+                continue
+            nb = lib.nvmk_num_bonds(handle, k)
+            cols = {
+                name: np.zeros(max(na, 1), np.int32)
+                for name in (
+                    "atomic_num", "charge", "degree", "total_hs", "in_ring",
+                    "is_aromatic", "mass", "isotope", "min_ring_size",
+                    "chiral", "explicit_hs", "from_bracket",
+                )
+            }
+            p = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+            lib.nvmk_get_atoms(
+                handle, k, *[p(cols[n]) for n in cols]
+            )
+            bond_atoms = np.zeros((max(nb, 1), 2), np.int32)
+            bond_type = np.zeros(max(nb, 1), np.int32)
+            bond_ring = np.zeros(max(nb, 1), np.int32)
+            lib.nvmk_get_bonds(handle, k, p(bond_atoms), p(bond_type), p(bond_ring))
+
+            mol = Mol()
+            for i in range(na):
+                mol.atoms.append(
+                    Atom(
+                        atomic_num=int(cols["atomic_num"][i]),
+                        formal_charge=int(cols["charge"][i]),
+                        is_aromatic=bool(cols["is_aromatic"][i]),
+                        isotope=int(cols["isotope"][i]),
+                        explicit_hs=int(cols["explicit_hs"][i]),
+                        from_bracket=bool(cols["from_bracket"][i]),
+                        chiral_tag=ChiralTag(int(cols["chiral"][i])),
+                        implicit_hs=int(cols["total_hs"][i] - cols["explicit_hs"][i]),
+                        in_ring=bool(cols["in_ring"][i]),
+                        min_ring_size=int(cols["min_ring_size"][i]),
+                    )
+                )
+            for bi in range(nb):
+                b = Bond(
+                    begin=int(bond_atoms[bi, 0]),
+                    end=int(bond_atoms[bi, 1]),
+                    bond_type=BondType(int(bond_type[bi])),
+                    is_aromatic=int(bond_type[bi]) == int(BondType.AROMATIC),
+                    in_ring=bool(bond_ring[bi]),
+                )
+                mol.bonds.append(b)
+            mol._neighbors = None
+            out.append(mol)
+        return out
+    finally:
+        lib.nvmk_free(handle)
+
+
+def mols_from_smiles(smiles: list[str], backend: str = "auto", n_threads: int = 0):
+    """Batch SMILES parsing; backend in {'auto', 'native', 'python'}."""
+    if backend == "auto":
+        backend = "native" if native_available() else "python"
+    if backend == "native":
+        return mols_from_smiles_native(smiles, n_threads)
+    if backend == "python":
+        from nvmolkit_tpu.chem.smiles import mol_from_smiles
+
+        return [mol_from_smiles(s) for s in smiles]
+    raise ValueError(f"unknown backend {backend!r}")

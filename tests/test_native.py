@@ -1,0 +1,65 @@
+"""Native C++ graph compiler: differential tests vs the Python parser."""
+import numpy as np
+import pytest
+
+from nvmolkit_tpu.chem import mol_from_smiles
+from nvmolkit_tpu.chem.native import (
+    mols_from_smiles,
+    mols_from_smiles_native,
+    native_available,
+)
+
+pytestmark = pytest.mark.skipif(
+    not native_available(), reason="native toolchain unavailable"
+)
+
+
+def _assert_same(py, nat, smi):
+    assert nat.num_atoms == py.num_atoms, smi
+    assert nat.num_bonds == py.num_bonds, smi
+    for i, (a, b) in enumerate(zip(py.atoms, nat.atoms)):
+        for field in (
+            "atomic_num", "formal_charge", "is_aromatic", "isotope",
+            "total_hs", "in_ring", "min_ring_size",
+        ):
+            av = getattr(a, field)
+            bv = getattr(b, field)
+            assert av == bv, f"{smi} atom {i} {field}: py={av} native={bv}"
+    for i, (a, b) in enumerate(zip(py.bonds, nat.bonds)):
+        assert (a.begin, a.end, a.bond_type, a.in_ring) == (
+            b.begin, b.end, b.bond_type, b.in_ring,
+        ), f"{smi} bond {i}"
+
+
+def test_native_matches_python_on_100(smiles100):
+    native = mols_from_smiles_native(smiles100)
+    for smi, nat in zip(smiles100, native):
+        _assert_same(mol_from_smiles(smi), nat, smi)
+
+
+def test_native_morgan_fingerprints_identical(smiles100):
+    from nvmolkit_tpu.fingerprints import MorganFingerprintGenerator
+
+    gen = MorganFingerprintGenerator(radius=2, fpSize=1024)
+    py_mols = [mol_from_smiles(s) for s in smiles100[:20]]
+    nat_mols = mols_from_smiles_native(smiles100[:20])
+    np.testing.assert_array_equal(
+        gen.GetFingerprintsCpu(py_mols), gen.GetFingerprintsCpu(nat_mols)
+    )
+
+
+def test_native_error_handling():
+    with pytest.raises(ValueError, match="unclosed"):
+        mols_from_smiles_native(["C1CC("])
+    out = mols_from_smiles_native(["CCO", "C1CC(", "CC"], strict=False)
+    assert out[0] is not None and out[2] is not None
+    assert out[1] is None
+
+
+def test_backend_selector(smiles100):
+    a = mols_from_smiles(smiles100[:5], backend="python")
+    b = mols_from_smiles(smiles100[:5], backend="native")
+    for x, y, smi in zip(a, b, smiles100[:5]):
+        _assert_same(x, y, smi)
+    with pytest.raises(ValueError):
+        mols_from_smiles(["C"], backend="gpu")
