@@ -476,6 +476,85 @@ void nvmk_get_atoms(void* h, int32_t mol, int32_t* atomic_num, int32_t* charge,
   }
 }
 
+// Fill the padded Morgan kernel batch arrays for a bucket of molecules
+// directly (the role of the reference's MorganInvariantsGenerator CPU
+// stage): atom invariants are boost hash_combine over (atomicNum,
+// degree, totalHs, charge, deltaMass, inRing) — arithmetic identical to
+// nvmolkit_tpu/utils/hashing.py + ops/morgan_cpu.py.
+//
+// Output layouts (B = n_indices, A = max_atoms, K = max_bonds_per_atom,
+// W = 2*A/32 words):
+//   inv0      uint32 [B, A]
+//   adj_atoms int32  [B, A, K]
+//   adj_code  uint32 [B, A, K]
+//   adj_mask  uint8  [B, A, K]
+//   own_bits  uint32 [B, A, W]
+//   atom_mask uint8  [B, A]
+//   degree    int32  [B, A]
+// Returns 0 on success, -1 if any molecule exceeds A atoms / 2A bonds /
+// K bonds-per-atom or failed to parse.
+int32_t nvmk_fill_morgan_batch(void* h, const int32_t* mol_indices, int32_t b,
+                               int32_t max_atoms, int32_t max_bonds_per_atom,
+                               uint32_t* inv0, int32_t* adj_atoms,
+                               uint32_t* adj_code, uint8_t* adj_mask,
+                               uint32_t* own_bits, uint8_t* atom_mask,
+                               int32_t* degree_out) {
+  auto* batch = static_cast<Batch*>(h);
+  const int32_t A = max_atoms, K = max_bonds_per_atom;
+  const int32_t W = (2 * A) / 32;
+  auto hash_combine = [](uint32_t seed, uint32_t v) {
+    return seed ^ (v + 0x9e3779b9u + (seed << 6) + (seed >> 2));
+  };
+  for (int32_t k = 0; k < b; ++k) {
+    const Molecule& m = batch->mols[mol_indices[k]];
+    if (!m.error.empty()) return -1;
+    int32_t na = (int32_t)m.atoms.size();
+    if (na > A || (int32_t)m.bonds.size() > 2 * A) return -1;
+    uint32_t* inv_row = inv0 + (size_t)k * A;
+    int32_t* adj_a = adj_atoms + (size_t)k * A * K;
+    uint32_t* adj_c = adj_code + (size_t)k * A * K;
+    uint8_t* adj_m = adj_mask + (size_t)k * A * K;
+    uint32_t* own = own_bits + (size_t)k * A * W;
+    uint8_t* amask = atom_mask + (size_t)k * A;
+    int32_t* deg = degree_out + (size_t)k * A;
+    std::memset(inv_row, 0, sizeof(uint32_t) * A);
+    std::memset(adj_a, 0, sizeof(int32_t) * A * K);
+    std::memset(adj_c, 0, sizeof(uint32_t) * A * K);
+    std::memset(adj_m, 0, sizeof(uint8_t) * A * K);
+    std::memset(own, 0, sizeof(uint32_t) * A * W);
+    std::memset(amask, 0, sizeof(uint8_t) * A);
+    std::memset(deg, 0, sizeof(int32_t) * A);
+    for (int32_t i = 0; i < na; ++i) {
+      const Atom& a = m.atoms[i];
+      auto it = kCommonMass.find(a.atomic_num);
+      int32_t mass = a.isotope ? a.isotope
+                               : (it != kCommonMass.end() ? it->second
+                                                          : a.atomic_num * 2);
+      int32_t delta_mass = mass - a.atomic_num * 2;
+      uint32_t inv = 0;
+      inv = hash_combine(inv, (uint32_t)a.atomic_num);
+      inv = hash_combine(inv, (uint32_t)m.adj[i].size());
+      inv = hash_combine(inv, (uint32_t)(a.explicit_hs + a.implicit_hs));
+      inv = hash_combine(inv, (uint32_t)a.charge);
+      inv = hash_combine(inv, (uint32_t)delta_mass);
+      inv = hash_combine(inv, (uint32_t)(a.in_ring ? 1 : 0));
+      inv_row[i] = inv;
+      amask[i] = 1;
+      int32_t d = (int32_t)m.adj[i].size();
+      if (d > K) return -1;
+      deg[i] = d;
+      for (int32_t s = 0; s < d; ++s) {
+        int32_t bi = m.adj[i][s];
+        adj_a[i * K + s] = m.other(bi, i);
+        adj_c[i * K + s] = (uint32_t)m.bonds[bi].type;
+        adj_m[i * K + s] = 1;
+        own[i * W + bi / 32] |= (1u << (bi % 32));
+      }
+    }
+  }
+  return 0;
+}
+
 void nvmk_get_bonds(void* h, int32_t mol, int32_t* bond_atoms,
                     int32_t* bond_type, int32_t* bond_in_ring) {
   auto& m = static_cast<Batch*>(h)->mols[mol];

@@ -49,8 +49,15 @@ def _load():
         lib.nvmk_error.restype = ctypes.c_char_p
         lib.nvmk_error.argtypes = [ctypes.c_void_p, ctypes.c_int32]
         ptr = ctypes.POINTER(ctypes.c_int32)
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
         lib.nvmk_get_atoms.argtypes = [ctypes.c_void_p, ctypes.c_int32] + [ptr] * 12
         lib.nvmk_get_bonds.argtypes = [ctypes.c_void_p, ctypes.c_int32] + [ptr] * 3
+        lib.nvmk_fill_morgan_batch.restype = ctypes.c_int32
+        lib.nvmk_fill_morgan_batch.argtypes = [
+            ctypes.c_void_p, ptr, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            u32p, ptr, u32p, u8p, u32p, u8p, ptr,
+        ]
         _lib = lib
     except Exception as e:  # missing toolchain, load failure, ...
         _load_error = str(e)
@@ -134,6 +141,84 @@ def mols_from_smiles_native(
                 mol.bonds.append(b)
             mol._neighbors = None
             out.append(mol)
+        return out
+    finally:
+        lib.nvmk_free(handle)
+
+
+def morgan_batches_from_smiles(
+    smiles: list[str],
+    atom_buckets: tuple[int, ...],
+    max_bonds_per_atom: int = 8,
+    n_threads: int = 0,
+) -> dict[int, tuple[np.ndarray, dict[str, np.ndarray]]]:
+    """Zero-Mol fast path: SMILES -> padded Morgan kernel batches.
+
+    The C++ compiler parses, perceives, computes invariants and fills the
+    padded arrays directly (the reference's CPU invariant-preprocessing
+    stage, ``src/morgan_fingerprint_common.cpp``); Python never builds
+    molecule objects. Returns {bucket: (original_indices, batch_dict)}.
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native mol graph library unavailable: {_load_error}")
+    arr = (ctypes.c_char_p * len(smiles))(*[s.encode() for s in smiles])
+    handle = lib.nvmk_parse_batch(arr, len(smiles), n_threads)
+    if not handle:
+        raise RuntimeError("nvmk_parse_batch failed")
+    try:
+        by_bucket: dict[int, list[int]] = {}
+        for k, smi in enumerate(smiles):
+            na = lib.nvmk_num_atoms(handle, k)
+            if na < 0:
+                err = lib.nvmk_error(handle, k)
+                raise ValueError(
+                    f"SMILES {smi!r}: {err.decode() if err else 'parse error'}"
+                )
+            for b in atom_buckets:
+                if na <= b:
+                    by_bucket.setdefault(b, []).append(k)
+                    break
+            else:
+                raise ValueError(
+                    f"molecule {k} has {na} atoms > largest bucket {atom_buckets[-1]}"
+                )
+
+        out = {}
+        K = max_bonds_per_atom
+        for bucket, indices in sorted(by_bucket.items()):
+            B, A = len(indices), bucket
+            W = 2 * A // 32
+            inv0 = np.zeros((B, A), np.uint32)
+            adj_atoms = np.zeros((B, A, K), np.int32)
+            adj_code = np.zeros((B, A, K), np.uint32)
+            adj_mask = np.zeros((B, A, K), np.uint8)
+            own_bits = np.zeros((B, A, W), np.uint32)
+            atom_mask = np.zeros((B, A), np.uint8)
+            degree = np.zeros((B, A), np.int32)
+            idx_arr = np.asarray(indices, np.int32)
+            pi = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+            pu = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32))
+            p8 = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+            rc = lib.nvmk_fill_morgan_batch(
+                handle, pi(idx_arr), B, A, K,
+                pu(inv0), pi(adj_atoms), pu(adj_code), p8(adj_mask),
+                pu(own_bits), p8(atom_mask), pi(degree),
+            )
+            if rc != 0:
+                raise ValueError(f"bucket {bucket}: molecule exceeds capacity")
+            out[bucket] = (
+                idx_arr,
+                {
+                    "inv0": inv0,
+                    "adj_atoms": adj_atoms,
+                    "adj_code": adj_code,
+                    "adj_mask": adj_mask.astype(bool),
+                    "own_bits": own_bits,
+                    "atom_mask": atom_mask.astype(bool),
+                    "degree": degree,
+                },
+            )
         return out
     finally:
         lib.nvmk_free(handle)

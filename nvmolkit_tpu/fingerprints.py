@@ -84,3 +84,43 @@ class MorganFingerprintGenerator:
             )
             out = out.at[np.asarray(indices, dtype=np.int32)].set(fps)
         return AsyncResult(out)
+
+    def GetFingerprintsFromSmiles(
+        self,
+        smiles: list[str],
+        num_threads: int = 0,
+        hardwareOptions: HardwareOptions | None = None,
+    ) -> AsyncResult:
+        """Fast path: SMILES parsed + featurized by the native C++
+        compiler (zero Python molecule objects), then the batched TPU
+        kernel. Falls back to ``GetFingerprints`` when the native library
+        is unavailable."""
+        from nvmolkit_tpu.chem.native import morgan_batches_from_smiles, native_available
+
+        opts = hardwareOptions or HardwareOptions()
+        if not native_available():
+            from nvmolkit_tpu.chem.smiles import mol_from_smiles
+
+            return self.GetFingerprints(
+                [mol_from_smiles(s) for s in smiles], hardwareOptions=opts
+            )
+        from nvmolkit_tpu.ops.morgan import morgan_kernel
+
+        batches = morgan_batches_from_smiles(
+            smiles, opts.atomBuckets, n_threads=num_threads
+        )
+        out = jnp.zeros((len(smiles), self.fpSize // 32), dtype=jnp.uint32)
+        for bucket, (indices, b) in sorted(batches.items()):
+            fps = morgan_kernel(
+                jnp.asarray(b["inv0"]),
+                jnp.asarray(b["adj_atoms"]),
+                jnp.asarray(b["adj_code"]),
+                jnp.asarray(b["adj_mask"]),
+                jnp.asarray(b["own_bits"]),
+                jnp.asarray(b["atom_mask"]),
+                jnp.asarray(b["degree"]),
+                radius=self.radius,
+                fp_size=self.fpSize,
+            )
+            out = out.at[indices].set(fps)
+        return AsyncResult(out)

@@ -63,3 +63,13 @@ def test_backend_selector(smiles100):
         _assert_same(x, y, smi)
     with pytest.raises(ValueError):
         mols_from_smiles(["C"], backend="gpu")
+
+
+def test_native_morgan_fastpath_bitexact(smiles100):
+    from nvmolkit_tpu.fingerprints import MorganFingerprintGenerator
+
+    gen = MorganFingerprintGenerator(radius=2, fpSize=1024)
+    mols = [mol_from_smiles(s) for s in smiles100]
+    want = gen.GetFingerprints(mols).numpy()
+    got = gen.GetFingerprintsFromSmiles(smiles100).numpy()
+    np.testing.assert_array_equal(got, want)
