@@ -56,6 +56,10 @@ class EmbedParameters:
     fourthDimWeightSecond: float = 1.0
     firstMinimizeIters: int = 400
     fourthDimMinimizeIters: int = 200
+    useBasicKnowledge: bool = True    # ETK improper (planarity) 3-D stage
+    useExpTorsionAnglePrefs: bool = False  # needs a torsion provider
+    etkMinimizeIters: int = 150
+    pruneRmsThresh: float = -1.0      # <=0 disables RMS pruning
 
 
 @dataclasses.dataclass
@@ -90,6 +94,7 @@ def EmbedMolecules(
     maxIterations: int = 10,
     hardwareOptions: HardwareOptions | None = None,
     failures: EmbedFailureCounts | None = None,
+    torsionProvider=None,
 ) -> Dense3DResult:
     """Generate conformers for every molecule; also appends them to each
     ``Mol``'s conformer list. Returns a Dense3DResult (conf_mask marks
@@ -125,8 +130,22 @@ def EmbedMolecules(
         key, sub = jax.random.split(key)
         _embed_bucket(
             molecules, mol_ids, bucket, confsPerMolecule, maxIterations,
-            params, sub, out_pos, out_conf_mask, fail,
+            params, sub, out_pos, out_conf_mask, fail, torsionProvider,
         )
+
+    # RMS pruning during writeback (rdkit_extensions/conformer_pruning role)
+    if params.pruneRmsThresh > 0:
+        from nvmolkit_tpu.ops.pruning import prune_conformers
+
+        for mi, m in enumerate(molecules):
+            conf_ids = np.nonzero(out_conf_mask[mi])[0]
+            if len(conf_ids) > 1:
+                kept_local = prune_conformers(
+                    out_pos[mi, conf_ids, : m.num_atoms], params.pruneRmsThresh
+                )
+                dropped = set(conf_ids.tolist()) - set(conf_ids[kept_local].tolist())
+                for ci in dropped:
+                    out_conf_mask[mi, ci] = False
 
     # writeback to Mol conformer lists
     for mi, m in enumerate(molecules):
@@ -143,7 +162,7 @@ def EmbedMolecules(
 
 def _embed_bucket(
     molecules, mol_ids, bucket, confs_per_mol, max_iterations, params, key,
-    out_pos, out_conf_mask, fail,
+    out_pos, out_conf_mask, fail, torsion_provider=None,
 ):
     A = bucket
     M = len(mol_ids)
@@ -232,6 +251,23 @@ def _embed_bucket(
             fourth_dim_weight=params.fourthDimWeightSecond,
         )
 
+    # optional ETK 3-D refinement stage (etkdg_stage_etk_minimization role)
+    use_etk = params.useBasicKnowledge or (
+        params.useExpTorsionAnglePrefs and torsion_provider is not None
+    )
+    if use_etk:
+        from nvmolkit_tpu.models.etk import build_etk_terms, etk_energy_and_grad, pad_etk_batch
+
+        tp = torsion_provider if params.useExpTorsionAnglePrefs else None
+        etk_host = [build_etk_terms(molecules[mi], tp) for mi in mol_ids]
+        etk_pad = pad_etk_batch(etk_host)
+        etk_batch = {k: jnp.asarray(v[sys_mol]) for k, v in etk_pad.items()}
+
+        def eg_etk(p):
+            return etk_energy_and_grad(
+                p, ub2, lb2, pair_mask, etk_batch, am_s, bounds_weight=1.0
+            )
+
     for attempt in range(max_iterations):
         if not needed.any():
             break
@@ -247,6 +283,11 @@ def _embed_bucket(
             eg_second, res1.positions, am_s, max_iters=params.fourthDimMinimizeIters
         )
         pos3 = res2.positions[..., :3]  # [S, A, 3]
+        if use_etk:
+            res3 = batched_bfgs_minimize(
+                eg_etk, pos3, am_s, max_iters=params.etkMinimizeIters
+            )
+            pos3 = res3.positions
 
         ok_bounds, ok_chiral, ok_tetra = _check_embeddings(
             pos3, ub_s, lb_s, pair_mask, ci_s, clb_s, cub_s, cm_s,

@@ -126,3 +126,71 @@ def test_embed_rejects_nonrandom_coords():
     m = mol_from_smiles("CC")
     with pytest.raises(ValueError):
         EmbedMolecules([m], params=EmbedParameters(useRandomCoords=False))
+
+
+def test_embed_etk_stage_planarizes_aromatics():
+    m = mol_from_smiles("c1ccccc1C=O")  # benzaldehyde: sp2 everywhere
+    res = EmbedMolecules(
+        [m], confsPerMolecule=2, maxIterations=15,
+        params=EmbedParameters(useBasicKnowledge=True),
+    )
+    cm = np.asarray(res.conf_mask)
+    assert cm.sum() >= 1
+    pos = m.conformers[0][:6]  # ring atoms
+    centered = pos - pos.mean(axis=0)
+    s = np.linalg.svd(centered, compute_uv=False)
+    assert s[2] < 0.25  # near-planar ring
+
+
+def test_embed_prune_rms():
+    m = mol_from_smiles("CCO")
+    res = EmbedMolecules(
+        [m], confsPerMolecule=6, maxIterations=15,
+        params=EmbedParameters(pruneRmsThresh=10.0),  # absurdly large: prune to 1
+    )
+    cm = np.asarray(res.conf_mask)
+    assert cm.sum() == 1
+    assert len(m.conformers) == 1
+
+
+def test_embed_exp_torsion_provider():
+    # a provider that biases the butane central torsion to ~180 (anti)
+    m = mol_from_smiles("CCCC")
+
+    def provider(mol):
+        idx = np.asarray([[0, 1, 2, 3]], np.int32)
+        coeffs = np.zeros((1, 6), np.float32)
+        coeffs[0, 0] = 5.0  # F1 (1 + cos(phi - pi)): minimum at phi=pi... phase pi
+        phase = np.zeros((1, 6), np.float32)
+        phase[0, 0] = 0.0   # E = F1 (1 + cos phi): minimum at phi = pi (anti)
+        return idx, coeffs, phase
+
+    res = EmbedMolecules(
+        [m], confsPerMolecule=3, maxIterations=15,
+        params=EmbedParameters(
+            useExpTorsionAnglePrefs=True, useBasicKnowledge=False,
+            etkMinimizeIters=300,
+        ),
+        torsionProvider=provider,
+    )
+    cm = np.asarray(res.conf_mask)
+    assert cm.sum() >= 1
+    import math
+    for conf in m.conformers:
+        p = conf
+        b1, b2, b3 = p[1] - p[0], p[2] - p[1], p[3] - p[2]
+        n1, n2 = np.cross(b1, b2), np.cross(b2, b3)
+        m1 = np.cross(n1, b2 / np.linalg.norm(b2))
+        phi = math.degrees(math.atan2(np.dot(m1, n2), np.dot(n1, n2)))
+        assert abs(abs(phi) - 180.0) < 60.0, f"dihedral {phi} not biased anti"
+
+
+def test_prune_conformers_unit(rng):
+    from nvmolkit_tpu.ops.pruning import prune_conformers
+
+    base = rng.random((5, 3))
+    confs = np.stack([base, base + 1e-4, base + rng.random((5, 3)) * 3.0])
+    kept = prune_conformers(confs, threshold=0.5)
+    assert 0 in kept and 2 in kept and 1 not in kept
+    # disabled threshold keeps everything
+    assert len(prune_conformers(confs, threshold=-1)) == 3
