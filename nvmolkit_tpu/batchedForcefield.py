@@ -123,6 +123,10 @@ class _BatchedForcefieldBase:
     def _energy_and_grad(self, positions, batch):
         raise NotImplementedError
 
+    def _module_energy_fn(self):
+        """Module-level (pos, batch) -> (e, g) fn for jit-cache stability."""
+        raise NotImplementedError
+
     # constraints ----------------------------------------------------------
     def __getitem__(self, sys_idx: int) -> _SystemConstraintView:
         if not (0 <= sys_idx < len(self.systems)):
@@ -186,14 +190,25 @@ class _BatchedForcefieldBase:
 
     def minimize(self, maxIters: int = 200, forceTol: float = 1e-4):
         """Minimize all systems in place; returns (energies, converged)."""
-        eg = self._full_energy_and_grad()
-        res = batched_bfgs_minimize(
-            eg,
-            self._positions,
-            self._batch.atom_mask,
-            max_iters=maxIters,
-            grad_tol=forceTol,
-        )
+        if all(c.empty() for c in self._constraints):
+            # jit-cached fast path: module-level energy fn + batch as args
+            res = batched_bfgs_minimize(
+                self._module_energy_fn(),
+                self._positions,
+                self._batch.atom_mask,
+                max_iters=maxIters,
+                grad_tol=forceTol,
+                energy_args=self._batch,
+            )
+        else:
+            eg = self._full_energy_and_grad()
+            res = batched_bfgs_minimize(
+                eg,
+                self._positions,
+                self._batch.atom_mask,
+                max_iters=maxIters,
+                grad_tol=forceTol,
+            )
         self._positions = res.positions
         return AsyncResult(res.energies), AsyncResult(res.converged)
 
@@ -226,6 +241,11 @@ class MMFFBatchedForcefield(_BatchedForcefieldBase):
 
         return mmff_energy_and_grad(positions, batch)
 
+    def _module_energy_fn(self):
+        from nvmolkit_tpu.models.mmff import mmff_energy_and_grad
+
+        return mmff_energy_and_grad
+
 
 class UFFBatchedForcefield(_BatchedForcefieldBase):
     """Batched UFF force field over molecules with conformers."""
@@ -248,3 +268,8 @@ class UFFBatchedForcefield(_BatchedForcefieldBase):
         from nvmolkit_tpu.models.uff.energy import uff_energy_and_grad
 
         return uff_energy_and_grad(positions, batch)
+
+    def _module_energy_fn(self):
+        from nvmolkit_tpu.models.uff.energy import uff_energy_and_grad
+
+        return uff_energy_and_grad

@@ -237,36 +237,39 @@ def _embed_bucket(
     ti_s = jnp.asarray(tetra_idx[sys_mol])
     tm_s = jnp.asarray(tetra_mask[sys_mol])
 
-    def eg_first(p):
-        return dg_energy_and_grad(
-            p, ub2, lb2, pair_mask, ci_s, clb_s, cub_s, cm_s, am_s,
-            chiral_weight=params.chiralWeightFirst,
-            fourth_dim_weight=params.fourthDimWeightFirst,
-        )
+    from nvmolkit_tpu.models.dist_geom import dg_eg
 
-    def eg_second(p):
-        return dg_energy_and_grad(
-            p, ub2, lb2, pair_mask, ci_s, clb_s, cub_s, cm_s, am_s,
-            chiral_weight=params.chiralWeightSecond,
-            fourth_dim_weight=params.fourthDimWeightSecond,
-        )
+    base_args = {
+        "ub2": ub2, "lb2": lb2, "pair_mask": pair_mask,
+        "chiral_idx": ci_s, "chiral_lb": clb_s, "chiral_ub": cub_s,
+        "chiral_mask": cm_s, "atom_mask": am_s,
+    }
+    args_first = dict(
+        base_args,
+        chiral_weight=jnp.float32(params.chiralWeightFirst),
+        fourth_dim_weight=jnp.float32(params.fourthDimWeightFirst),
+    )
+    args_second = dict(
+        base_args,
+        chiral_weight=jnp.float32(params.chiralWeightSecond),
+        fourth_dim_weight=jnp.float32(params.fourthDimWeightSecond),
+    )
 
     # optional ETK 3-D refinement stage (etkdg_stage_etk_minimization role)
     use_etk = params.useBasicKnowledge or (
         params.useExpTorsionAnglePrefs and torsion_provider is not None
     )
     if use_etk:
-        from nvmolkit_tpu.models.etk import build_etk_terms, etk_energy_and_grad, pad_etk_batch
+        from nvmolkit_tpu.models.etk import build_etk_terms, etk_eg, pad_etk_batch
 
         tp = torsion_provider if params.useExpTorsionAnglePrefs else None
         etk_host = [build_etk_terms(molecules[mi], tp) for mi in mol_ids]
         etk_pad = pad_etk_batch(etk_host)
         etk_batch = {k: jnp.asarray(v[sys_mol]) for k, v in etk_pad.items()}
-
-        def eg_etk(p):
-            return etk_energy_and_grad(
-                p, ub2, lb2, pair_mask, etk_batch, am_s, bounds_weight=1.0
-            )
+        args_etk = {
+            "ub2": ub2, "lb2": lb2, "pair_mask": pair_mask, "etk": etk_batch,
+            "atom_mask": am_s, "bounds_weight": jnp.float32(1.0),
+        }
 
     for attempt in range(max_iterations):
         if not needed.any():
@@ -277,15 +280,20 @@ def _embed_bucket(
         )  # [S, A, 4]
 
         res1 = batched_bfgs_minimize(
-            eg_first, coords4, am_s, max_iters=params.firstMinimizeIters
+            dg_eg, coords4, am_s, max_iters=params.firstMinimizeIters,
+            energy_args=args_first,
         )
         res2 = batched_bfgs_minimize(
-            eg_second, res1.positions, am_s, max_iters=params.fourthDimMinimizeIters
+            dg_eg, res1.positions, am_s,
+            max_iters=params.fourthDimMinimizeIters, energy_args=args_second,
         )
         pos3 = res2.positions[..., :3]  # [S, A, 3]
         if use_etk:
+            from nvmolkit_tpu.models.etk import etk_eg
+
             res3 = batched_bfgs_minimize(
-                eg_etk, pos3, am_s, max_iters=params.etkMinimizeIters
+                etk_eg, pos3, am_s, max_iters=params.etkMinimizeIters,
+                energy_args=args_etk,
             )
             pos3 = res3.positions
 

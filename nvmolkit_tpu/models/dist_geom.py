@@ -97,6 +97,25 @@ def dg_energy_and_grad(
     return e, g
 
 
+def dg_eg(positions, args: dict):
+    """Args-pytree form for the jit-cached BFGS fast path.
+
+    ``args`` carries ub2/lb2/pair_mask/chiral_*/atom_mask plus the
+    (traced) scalar weights chiral_weight / fourth_dim_weight.
+    """
+    def total(p):
+        e = dg_energy(
+            p, args["ub2"], args["lb2"], args["pair_mask"], args["chiral_idx"],
+            args["chiral_lb"], args["chiral_ub"], args["chiral_mask"],
+            args["chiral_weight"], args["fourth_dim_weight"],
+        )
+        return jnp.sum(e), e
+
+    (_, e), g = jax.value_and_grad(total, has_aux=True)(positions)
+    g = jnp.where(args["atom_mask"][..., None], g, 0.0)
+    return e, g
+
+
 # ---------------------------------------------------------------------------
 # coordinate generation
 # ---------------------------------------------------------------------------

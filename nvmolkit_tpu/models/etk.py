@@ -216,3 +216,17 @@ def etk_energy_and_grad(
     (_, e), g = jax.value_and_grad(total, has_aux=True)(positions)
     g = jnp.where(atom_mask[..., None], g, 0.0)
     return e, g
+
+
+def etk_eg(positions, args: dict):
+    """Args-pytree form for the jit-cached BFGS fast path."""
+    def total(p):
+        e = etk_energy(
+            p, args["ub2"], args["lb2"], args["pair_mask"], args["etk"],
+            args["bounds_weight"],
+        )
+        return jnp.sum(e), e
+
+    (_, e), g = jax.value_and_grad(total, has_aux=True)(positions)
+    g = jnp.where(args["atom_mask"][..., None], g, 0.0)
+    return e, g

@@ -84,11 +84,13 @@ def optimize_molecules_confs(
             m = mols[s.mol_idx]
             pos0[k, : m.num_atoms] = m.conformers[s.conf_idx]
 
-        def eg(p, batch=batch):
-            return energy_and_grad_fn(p, batch)
-
         res = batched_bfgs_minimize(
-            eg, jnp.asarray(pos0), batch.atom_mask, max_iters=max_iters, grad_tol=grad_tol
+            energy_and_grad_fn,
+            jnp.asarray(pos0),
+            batch.atom_mask,
+            max_iters=max_iters,
+            grad_tol=grad_tol,
+            energy_args=batch,
         )
         e = np.asarray(res.energies)
         conv = np.asarray(res.converged)

@@ -1,15 +1,21 @@
-"""Batched UFF energy as a pure JAX function.
+"""Batched UFF energy — one-hot-matmul layout (the TPU-fast path).
 
 The reference evaluates per-term CUDA kernels accumulating into an
-energy scratch buffer (``src/forcefields/uff_kernels.cu``); here every
-term kind is one masked vectorized expression and per-system energies
-are a ``segment_sum``. Gradients come from ``jax.grad`` — no analytic
-gradient kernels (the TPU-native replacement for
-``uff_kernels_device.cuh``).
+energy scratch buffer (``src/forcefields/uff_kernels.cu``). First
+TPU design used flat global term tables with per-term gathers; their
+autodiff transpose is a scatter-add, which is pathologically slow on
+TPU. This layout removes every gather/scatter from the hot path:
 
-Masked-term safety: padded terms reference atom 0 of system 0, which
-would produce r=0 singularities; every distance/angle computation swaps
-in safe inputs under the mask before any division.
+  * bonded terms are padded per system and atom positions are selected
+    with one-hot einsums (MXU matmuls; the VJP is the transposed
+    matmul),
+  * the vdW sum is a dense masked pairwise computation whose squared
+    distances come from one batched Gram matmul
+    (r2_ij = |p_i|^2 + |p_j|^2 - 2 p_i.p_j),
+  * per-system energies are masked sums over the term axis — no
+    segment_sum, no atomics.
+
+Gradients via ``jax.grad`` throughout.
 """
 from __future__ import annotations
 
@@ -21,8 +27,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from nvmolkit_tpu.chem.mol import Mol
-from nvmolkit_tpu.models.terms import BatchedTerms, concat_term_tables
+from nvmolkit_tpu.models.terms import batch_terms_per_system, slot_onehots
 from nvmolkit_tpu.models.uff.builder import UFFTerms, build_uff_terms
+from nvmolkit_tpu.models.uff.params import uff_atom_type
 
 _EPS = 1e-10
 
@@ -30,132 +37,158 @@ _EPS = 1e-10
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class UFFBatch:
-    """Device-side batched UFF system (pytree of jnp arrays)."""
+    """Device-side batched UFF system (pytree of jnp arrays).
+
+    All bonded kinds share ONE fused selection table so the whole bonded
+    gather is 4 einsums (one per arity slot) regardless of kind count:
+
+      onehot [4, S, T_all, A]; kind k occupies rows
+      [offsets[k], offsets[k] + counts[k]) of the T_all axis.
+
+    tables: kind -> {"mask": [S, Tk], params...}
+    nonbonded: per-atom vdW params + dense exclusion mask.
+    """
 
     n_systems: int
     max_atoms: int
-    atom_mask: jnp.ndarray  # [S, A] bool
-    tables: dict[str, dict[str, jnp.ndarray]]  # kind -> arrays
+    offsets: tuple            # kind -> (start, count), static
+    atom_mask: jnp.ndarray    # [S, A] bool
+    onehot: jnp.ndarray       # [4, S, T_all, A] f32
+    tables: dict[str, dict[str, jnp.ndarray]]
+    vdw_x: jnp.ndarray        # [S, A] per-atom well distance
+    vdw_d: jnp.ndarray        # [S, A] per-atom well depth
+    nb_mask: jnp.ndarray      # [S, A, A] bool (i<j, not 1-2/1-3)
 
     def tree_flatten(self):
-        return (self.atom_mask, self.tables), (self.n_systems, self.max_atoms)
+        children = (
+            self.atom_mask, self.onehot, self.tables,
+            self.vdw_x, self.vdw_d, self.nb_mask,
+        )
+        return children, (self.n_systems, self.max_atoms, self.offsets)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        atom_mask, tables = children
-        return cls(aux[0], aux[1], atom_mask, tables)
+        return cls(aux[0], aux[1], aux[2], *children)
 
 
-def _batched_to_dict(bt: BatchedTerms) -> dict[str, jnp.ndarray]:
-    out = {
-        "atoms": jnp.asarray(bt.atoms),
-        "system": jnp.asarray(bt.system),
-        "mask": jnp.asarray(bt.mask),
-    }
-    for k, v in bt.params.items():
-        out[k] = jnp.asarray(v)
-    return out
+def _nb_exclusion(mol: Mol) -> list[tuple[int, int]]:
+    excluded = set()
+    for b in mol.bonds:
+        excluded.add((min(b.begin, b.end), max(b.begin, b.end)))
+    for j in range(mol.num_atoms):
+        nbrs = mol.neighbors(j)
+        for x in range(len(nbrs)):
+            for y in range(x + 1, len(nbrs)):
+                a, c = nbrs[x], nbrs[y]
+                excluded.add((min(a, c), max(a, c)))
+    return excluded
+
+
+def batch_uff_terms(
+    terms: list[UFFTerms],
+    mols: list[Mol],
+    max_atoms: int,
+) -> UFFBatch:
+    S = len(terms)
+    A = max_atoms
+    atom_mask = np.zeros((S, A), bool)
+    vdw_x = np.zeros((S, A), np.float32)
+    vdw_d = np.zeros((S, A), np.float32)
+    nb_mask = np.zeros((S, A, A), bool)
+    triu = np.triu(np.ones((A, A), bool), 1)
+    for s, m in enumerate(mols):
+        na = m.num_atoms
+        if na > A:
+            raise ValueError(f"system {s} has {na} atoms > bucket {A}")
+        atom_mask[s, :na] = True
+        ap = [uff_atom_type(m, i) for i in range(na)]
+        vdw_x[s, :na] = [p.x1 for p in ap]
+        vdw_d[s, :na] = [p.D1 for p in ap]
+        mask = np.zeros((A, A), bool)
+        mask[:na, :na] = True
+        mask &= triu
+        for (i, j) in _nb_exclusion(m):
+            mask[i, j] = False
+        nb_mask[s] = mask
+
+    # fuse all bonded kinds into one 4-slot selection table
+    tables = {}
+    fused_idx = []
+    offsets = []
+    cursor = 0
+    for kind in ("bonds", "angles", "torsions", "inversions"):
+        per_sys = batch_terms_per_system([getattr(t, kind) for t in terms])
+        idx = per_sys.pop("idx")  # [S, Tk, arity]
+        tk, arity = idx.shape[1], idx.shape[2]
+        if arity < 4:  # pad unused slots with atom 0 (masked anyway)
+            idx = np.concatenate(
+                [idx, np.zeros((S, tk, 4 - arity), np.int32)], axis=2
+            )
+        fused_idx.append(idx)
+        offsets.append((kind, cursor, tk))
+        cursor += tk
+        tables[kind] = {
+            "mask": jnp.asarray(per_sys.pop("mask")),
+            **{k: jnp.asarray(v) for k, v in per_sys.items()},
+        }
+    onehot = slot_onehots(np.concatenate(fused_idx, axis=1), A)  # [4, S, T_all, A]
+    return UFFBatch(
+        n_systems=S,
+        max_atoms=A,
+        offsets=tuple(offsets),
+        atom_mask=jnp.asarray(atom_mask),
+        onehot=jnp.asarray(onehot),
+        tables=tables,
+        vdw_x=jnp.asarray(vdw_x),
+        vdw_d=jnp.asarray(vdw_d),
+        nb_mask=jnp.asarray(nb_mask),
+    )
 
 
 def make_batched_uff(
     mols: list[Mol], max_atoms: int, vdw_threshold: float = 100.0
 ) -> UFFBatch:
     """Build and batch UFF terms for a bucket of molecules."""
-    terms = [build_uff_terms(m, vdw_threshold) for m in mols]
-    return batch_uff_terms(terms, [m.num_atoms for m in mols], max_atoms)
+    del vdw_threshold  # dense nonbonded keeps all pairs (x_ij << any cutoff)
+    terms = [build_uff_terms(m) for m in mols]
+    return batch_uff_terms(terms, mols, max_atoms)
 
 
-def batch_uff_terms(
-    terms: list[UFFTerms], n_atoms: list[int], max_atoms: int
-) -> UFFBatch:
-    S = len(terms)
-    atom_mask = np.zeros((S, max_atoms), dtype=bool)
-    for s, na in enumerate(n_atoms):
-        if na > max_atoms:
-            raise ValueError(f"system {s} has {na} atoms > bucket {max_atoms}")
-        atom_mask[s, :na] = True
-    tables = {
-        "bonds": concat_term_tables([t.bonds for t in terms]),
-        "angles": concat_term_tables([t.angles for t in terms]),
-        "torsions": concat_term_tables([t.torsions for t in terms]),
-        "inversions": concat_term_tables([t.inversions for t in terms]),
-        "vdw": concat_term_tables([t.vdw for t in terms]),
-    }
-    return UFFBatch(
-        n_systems=S,
-        max_atoms=max_atoms,
-        atom_mask=jnp.asarray(atom_mask),
-        tables={k: _batched_to_dict(v) for k, v in tables.items()},
-    )
-
-
-def _gather(positions: jnp.ndarray, table: dict, slot: int) -> jnp.ndarray:
-    S, A, _ = positions.shape
-    flat = positions.reshape(S * A, 3)
-    idx = table["system"] * A + table["atoms"][:, slot]
-    return flat[idx]
-
-
-def _safe_norm(d: jnp.ndarray) -> jnp.ndarray:
+def _norm(d):
     return jnp.sqrt(jnp.sum(d * d, axis=-1) + _EPS)
 
 
-_EX = np.asarray([1.0, 0.0, 0.0], dtype=np.float32)
-_EY = np.asarray([0.0, 1.0, 0.0], dtype=np.float32)
-_EZ = np.asarray([0.0, 0.0, 1.0], dtype=np.float32)
+_EX = np.asarray([1.0, 0.0, 0.0], np.float32)
+_EY = np.asarray([0.0, 1.0, 0.0], np.float32)
+_EZ = np.asarray([0.0, 0.0, 1.0], np.float32)
 
 
-def _safe_vec(d: jnp.ndarray, mask: jnp.ndarray, unit) -> jnp.ndarray:
-    """Swap masked-out lanes' geometry for a benign unit vector.
-
-    Masking only the energy output is not enough: autodiff produces
-    0 * inf = NaN cotangents through singular masked lanes (padded terms
-    reference coincident atoms). The swap must happen on the inputs.
-    """
-    return jnp.where(mask[:, None], d, unit.astype(d.dtype))
+def _safe(d, mask, unit):
+    return jnp.where(mask[..., None], d, unit.astype(d.dtype))
 
 
-def _bond_energy(positions, t) -> jnp.ndarray:
-    pi = _gather(positions, t, 0)
-    pj = _gather(positions, t, 1)
-    d = _safe_vec(pi - pj, t["mask"], _EX)
-    r = _safe_norm(d)
-    dr = r - t["r0"]
+def _bond_energy(p, t):
+    """p: tuple of 4 slot-position slices [S, Tk, 3]."""
+    d = _safe(p[0] - p[1], t["mask"], _EX)
+    dr = _norm(d) - t["r0"]
     return jnp.where(t["mask"], 0.5 * t["k"] * dr * dr, 0.0)
 
 
-def _cos_angle(positions, t) -> jnp.ndarray:
-    pi = _gather(positions, t, 0)
-    pj = _gather(positions, t, 1)
-    pk = _gather(positions, t, 2)
-    u = _safe_vec(pi - pj, t["mask"], _EX)
-    v = _safe_vec(pk - pj, t["mask"], _EY)
-    cos = jnp.sum(u * v, axis=-1) / (_safe_norm(u) * _safe_norm(v))
-    return jnp.clip(cos, -1.0, 1.0)
-
-
-def _angle_energy(positions, t) -> jnp.ndarray:
-    c = _cos_angle(positions, t)
+def _angle_energy(p, t):
+    u = _safe(p[0] - p[1], t["mask"], _EX)
+    v = _safe(p[2] - p[1], t["mask"], _EY)
+    c = jnp.clip(jnp.sum(u * v, -1) / (_norm(u) * _norm(v)), -1.0, 1.0)
     poly = t["a0"] + c * (t["a1"] + c * (t["a2"] + c * (t["a3"] + c * t["a4"])))
     return jnp.where(t["mask"], t["k"] * poly, 0.0)
 
 
-def _cos_dihedral(positions, t) -> jnp.ndarray:
-    pi = _gather(positions, t, 0)
-    pj = _gather(positions, t, 1)
-    pk = _gather(positions, t, 2)
-    pl = _gather(positions, t, 3)
-    b1 = _safe_vec(pj - pi, t["mask"], _EX)
-    b2 = _safe_vec(pk - pj, t["mask"], _EY)
-    b3 = _safe_vec(pl - pk, t["mask"], _EZ)
+def _torsion_energy(p, t):
+    b1 = _safe(p[1] - p[0], t["mask"], _EX)
+    b2 = _safe(p[2] - p[1], t["mask"], _EY)
+    b3 = _safe(p[3] - p[2], t["mask"], _EZ)
     n1 = jnp.cross(b1, b2)
     n2 = jnp.cross(b2, b3)
-    cos = jnp.sum(n1 * n2, axis=-1) / (_safe_norm(n1) * _safe_norm(n2))
-    return jnp.clip(cos, -1.0, 1.0)
-
-
-def _torsion_energy(positions, t) -> jnp.ndarray:
-    c = _cos_dihedral(positions, t)
+    c = jnp.clip(jnp.sum(n1 * n2, -1) / (_norm(n1) * _norm(n2)), -1.0, 1.0)
     poly = t["b0"] + c * (
         t["b1"]
         + c * (t["b2"] + c * (t["b3"] + c * (t["b4"] + c * (t["b5"] + c * t["b6"]))))
@@ -163,49 +196,56 @@ def _torsion_energy(positions, t) -> jnp.ndarray:
     return jnp.where(t["mask"], poly, 0.0)
 
 
-def _inversion_energy(positions, t) -> jnp.ndarray:
-    # Wilson angle w of bond j-l out of plane (j,i,k): E = K (1 - cos w)
-    pi = _gather(positions, t, 0)
-    pj = _gather(positions, t, 1)
-    pk = _gather(positions, t, 2)
-    pl = _gather(positions, t, 3)
-    rji = _safe_vec(pi - pj, t["mask"], _EX)
-    rjk = _safe_vec(pk - pj, t["mask"], _EY)
-    rjl = _safe_vec(pl - pj, t["mask"], _EX)
+def _inversion_energy(p, t):
+    rji = _safe(p[0] - p[1], t["mask"], _EX)
+    rjk = _safe(p[2] - p[1], t["mask"], _EY)
+    rjl = _safe(p[3] - p[1], t["mask"], _EX)
     n = jnp.cross(rji, rjk)
-    sin_y = jnp.sum(n * rjl, axis=-1) / (_safe_norm(n) * _safe_norm(rjl))
-    sin_y = jnp.clip(sin_y, -1.0, 1.0)
+    sin_y = jnp.clip(jnp.sum(n * rjl, -1) / (_norm(n) * _norm(rjl)), -1.0, 1.0)
     cos_w = jnp.sqrt(jnp.clip(1.0 - sin_y * sin_y, _EPS, 1.0))
     return jnp.where(t["mask"], t["k"] * (1.0 - cos_w), 0.0)
 
 
-def _vdw_energy(positions, t) -> jnp.ndarray:
-    pi = _gather(positions, t, 0)
-    pj = _gather(positions, t, 1)
-    d = _safe_vec(pi - pj, t["mask"], _EX * 10.0)
-    r = _safe_norm(d)
-    ratio = t["x"] / r
-    r6 = ratio**6
-    return jnp.where(t["mask"], t["d"] * (r6 * r6 - 2.0 * r6), 0.0)
-
-
-_TERM_ENERGY = {
+_BONDED = {
     "bonds": _bond_energy,
     "angles": _angle_energy,
     "torsions": _torsion_energy,
     "inversions": _inversion_energy,
-    "vdw": _vdw_energy,
 }
+
+
+def _vdw_energy_dense(positions, batch: UFFBatch) -> jnp.ndarray:
+    """LJ 12-6 over all non-excluded pairs via one Gram matmul -> [S]."""
+    sq = jnp.sum(positions * positions, axis=-1)          # [S, A]
+    gram = jnp.einsum(
+        "sad,sbd->sab", positions, positions, preferred_element_type=jnp.float32
+    )
+    r2 = sq[:, :, None] + sq[:, None, :] - 2.0 * gram     # [S, A, A]
+    r2 = jnp.maximum(r2, 1e-2)                            # clash floor
+    x2 = batch.vdw_x[:, :, None] * batch.vdw_x[:, None, :]  # x_ij^2
+    d_ij = jnp.sqrt(
+        jnp.maximum(batch.vdw_d[:, :, None] * batch.vdw_d[:, None, :], 0.0)
+    )
+    r6 = (x2 / r2) ** 3
+    e = d_ij * (r6 * r6 - 2.0 * r6)
+    return jnp.sum(jnp.where(batch.nb_mask, e, 0.0), axis=(1, 2))
 
 
 def uff_energy(positions: jnp.ndarray, batch: UFFBatch) -> jnp.ndarray:
     """Per-system UFF energies: positions [S, A, 3] -> [S] (kcal/mol)."""
-    S = positions.shape[0]
-    total = jnp.zeros(S, dtype=positions.dtype)
-    for kind, fn in _TERM_ENERGY.items():
-        t = batch.tables[kind]
-        e = fn(positions, t)
-        total = total + jax.ops.segment_sum(e, t["system"], num_segments=S)
+    total = _vdw_energy_dense(positions, batch)
+    # one fused selection per arity slot: [S, T_all, 3] each
+    slots = [
+        jnp.einsum(
+            "sta,sad->std", batch.onehot[s], positions,
+            preferred_element_type=jnp.float32,
+        )
+        for s in range(4)
+    ]
+    for kind, start, count in batch.offsets:
+        p = tuple(sl[:, start : start + count] for sl in slots)
+        e = _BONDED[kind](p, batch.tables[kind])
+        total = total + jnp.sum(e, axis=1)
     return total
 
 

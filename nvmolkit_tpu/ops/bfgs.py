@@ -41,12 +41,20 @@ EPS = 3e-8
 MAX_LS_ITERS = 64
 
 
+@jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class BfgsResult:
     positions: jnp.ndarray   # [S, A, 3]
     energies: jnp.ndarray    # [S]
     converged: jnp.ndarray   # [S] bool (True = gradient/position test met)
     n_iters: jnp.ndarray     # [] int32 (outer iterations executed)
+
+    def tree_flatten(self):
+        return (self.positions, self.energies, self.converged, self.n_iters), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
 
 
 def _line_search(energy_fn, pos, e0, grad, direction, active):
@@ -134,23 +142,55 @@ def batched_bfgs_minimize(
     atom_mask: jnp.ndarray,  # [S, A] bool
     max_iters: int = 200,
     grad_tol: float = 1e-4,
+    energy_args=None,
 ) -> BfgsResult:
     """Minimize each system's energy with batched BFGS.
 
-    ``energy_and_grad_fn(pos [S, A, D]) -> ([S], [S, A, D])`` must be a
-    pure jittable function with masked atoms contributing zero gradient.
+    Two calling conventions:
+
+    * ``energy_args=None`` — ``energy_and_grad_fn(pos) -> (e, g)`` closure.
+      Traced fresh per call (fine for one-off uses; closures over large
+      arrays bake them into the program, which bloats remote compiles).
+    * ``energy_args=<pytree>`` — ``energy_and_grad_fn(pos, energy_args)``.
+      The whole minimization is jitted once per (fn, shapes, max_iters)
+      and the args stream in as runtime inputs. Pass a module-level
+      function so the jit cache hits across calls.
     """
+    if energy_args is not None:
+        return _minimize_jit(
+            energy_and_grad_fn, positions, atom_mask, max_iters, grad_tol, energy_args
+        )
+
+    def fn(p, _):
+        return energy_and_grad_fn(p)
+
+    return _minimize_impl(fn, positions, atom_mask, max_iters, grad_tol, None)
+
+
+@partial(jax.jit, static_argnames=("fn", "max_iters", "grad_tol"))
+def _minimize_jit(fn, positions, atom_mask, max_iters, grad_tol, energy_args):
+    return _minimize_impl(fn, positions, atom_mask, max_iters, grad_tol, energy_args)
+
+
+def _minimize_impl(
+    energy_and_grad_fn: Callable,
+    positions: jnp.ndarray,
+    atom_mask: jnp.ndarray,
+    max_iters: int,
+    grad_tol: float,
+    energy_args,
+) -> BfgsResult:
     S, A, D = positions.shape
     N = D * A
     dof_mask = jnp.repeat(atom_mask, D, axis=1).reshape(S, N)
     n_dof = dof_mask.sum(axis=1).astype(positions.dtype)
 
     def e_flat(p_flat):
-        e, _ = energy_and_grad_fn(p_flat.reshape(S, A, D))
+        e, _ = energy_and_grad_fn(p_flat.reshape(S, A, D), energy_args)
         return e
 
     def eg_flat(p_flat):
-        e, g = energy_and_grad_fn(p_flat.reshape(S, A, D))
+        e, g = energy_and_grad_fn(p_flat.reshape(S, A, D), energy_args)
         return e, g.reshape(S, N)
 
     pos0 = positions.reshape(S, N)
