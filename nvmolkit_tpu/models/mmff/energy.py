@@ -1,9 +1,11 @@
-"""MMFF94 batched energy — exact published functional forms.
+"""MMFF94 batched energy — exact published functional forms, TPU-fast layout.
 
 Replaces the reference's per-term CUDA kernels
 (``src/forcefields/mmff_kernels_device.cuh``); gradients via autodiff.
-All energies kcal/mol, distances Angstrom, angles degrees where MMFF
-defines them so (angle bend, out-of-plane).
+Same layout strategy as :mod:`nvmolkit_tpu.models.uff.energy`: bonded
+terms ride fused one-hot matmul selections; nonbonded (buffered 14-7
+vdW + buffered electrostatics) are dense masked pairwise computations
+with squared distances from one Gram matmul.
 
   bond stretch   E = 143.9325/2 kb dr^2 (1 + cs dr + 7/12 cs^2 dr^2),
                  cs = -2 A^-1
@@ -13,7 +15,7 @@ defines them so (angle bend, out-of-plane).
   out-of-plane   E = 0.043844/2 koop chi^2 (Wilson angle, degrees)
   torsion        E = 0.5 (V1(1+cos p) + V2(1-cos 2p) + V3(1+cos 3p))
   vdW (buf 14-7) E = eps (1.07 R*/(R+0.07R*))^7 (1.12 R*^7/(R^7+0.12R*^7) - 2)
-  electrostatic  E = 332.0716 qq / (D (R + 0.05)^n), 0.75 scale on 1-4
+  electrostatic  E = 332.0716 qq scale / (D (R + 0.05)^n), scale 0.75 on 1-4
 """
 from __future__ import annotations
 
@@ -26,12 +28,14 @@ import numpy as np
 
 from nvmolkit_tpu.chem.mol import Mol
 from nvmolkit_tpu.models.mmff.terms import MMFFProperties, MMFFTerms
-from nvmolkit_tpu.models.terms import concat_term_tables
+from nvmolkit_tpu.models.terms import batch_terms_per_system, slot_onehots
 
 _EPS = 1e-10
 _DEG = 180.0 / np.pi
 _CS = -2.0
-_CB = -0.006981317  # -0.007 deg^-1 as used by MMFF94 (radian-free form)
+_CB = -0.006981317
+
+_BONDED_KINDS = ("bonds", "angles", "stretch_bends", "oop", "torsions")
 
 
 @jax.tree_util.register_pytree_node_class
@@ -41,32 +45,29 @@ class MMFFBatch:
     max_atoms: int
     diel_constant: float
     diel_model: int
-    atom_mask: jnp.ndarray
+    offsets: tuple                 # ((kind, start, count), ...) static
+    atom_mask: jnp.ndarray         # [S, A]
+    onehot: jnp.ndarray            # [4, S, T_all, A]
     tables: dict[str, dict[str, jnp.ndarray]]
+    nb_rstar: jnp.ndarray          # [S, A, A] pair R* (0 where inactive)
+    nb_eps: jnp.ndarray            # [S, A, A] pair eps
+    nb_vdw_mask: jnp.ndarray       # [S, A, A] bool
+    nb_qq_scale: jnp.ndarray       # [S, A, A] qq * (0.75 if 1-4) else 0
 
     def tree_flatten(self):
-        return (self.atom_mask, self.tables), (
-            self.n_systems,
-            self.max_atoms,
-            self.diel_constant,
-            self.diel_model,
+        children = (
+            self.atom_mask, self.onehot, self.tables,
+            self.nb_rstar, self.nb_eps, self.nb_vdw_mask, self.nb_qq_scale,
         )
+        aux = (
+            self.n_systems, self.max_atoms, self.diel_constant,
+            self.diel_model, self.offsets,
+        )
+        return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        atom_mask, tables = children
-        return cls(aux[0], aux[1], aux[2], aux[3], atom_mask, tables)
-
-
-def _to_dict(bt):
-    out = {
-        "atoms": jnp.asarray(bt.atoms),
-        "system": jnp.asarray(bt.system),
-        "mask": jnp.asarray(bt.mask),
-    }
-    for k, v in bt.params.items():
-        out[k] = jnp.asarray(v)
-    return out
+        return cls(*aux, *children)
 
 
 def batch_mmff_terms(
@@ -76,34 +77,76 @@ def batch_mmff_terms(
     properties: MMFFProperties | None = None,
 ) -> MMFFBatch:
     props = properties or MMFFProperties()
-    S = len(terms)
-    atom_mask = np.zeros((S, max_atoms), bool)
+    S, A = len(terms), max_atoms
+    atom_mask = np.zeros((S, A), bool)
     for s, na in enumerate(n_atoms):
-        if na > max_atoms:
-            raise ValueError(f"system {s}: {na} atoms > bucket {max_atoms}")
+        if na > A:
+            raise ValueError(f"system {s}: {na} atoms > bucket {A}")
         atom_mask[s, :na] = True
-    kinds = ["bonds", "angles", "stretch_bends", "oop", "torsions", "vdw", "ele"]
+
     enabled = {
         "bonds": props.bondTerm,
         "angles": props.angleTerm,
         "stretch_bends": props.stretchBendTerm,
         "oop": props.oopTerm,
         "torsions": props.torsionTerm,
-        "vdw": props.vdWTerm,
-        "ele": props.eleTerm,
     }
-    tables = {}
-    for kind in kinds:
+    tables: dict[str, dict[str, jnp.ndarray]] = {}
+    fused_idx, offsets, cursor = [], [], 0
+    for kind in _BONDED_KINDS:
         if not enabled[kind]:
             continue
-        tables[kind] = _to_dict(concat_term_tables([getattr(t, kind) for t in terms]))
+        per_sys = batch_terms_per_system([getattr(t, kind) for t in terms])
+        idx = per_sys.pop("idx")
+        tk, arity = idx.shape[1], idx.shape[2]
+        if arity < 4:
+            idx = np.concatenate([idx, np.zeros((S, tk, 4 - arity), np.int32)], axis=2)
+        fused_idx.append(idx)
+        offsets.append((kind, cursor, tk))
+        cursor += tk
+        tables[kind] = {
+            "mask": jnp.asarray(per_sys.pop("mask")),
+            **{k: jnp.asarray(v) for k, v in per_sys.items()},
+        }
+    if fused_idx:
+        onehot = slot_onehots(np.concatenate(fused_idx, axis=1), A)
+    else:
+        onehot = np.zeros((4, S, 1, A), np.float32)
+
+    # densify nonbonded pair tables
+    nb_rstar = np.zeros((S, A, A), np.float32)
+    nb_eps = np.zeros((S, A, A), np.float32)
+    nb_vdw_mask = np.zeros((S, A, A), bool)
+    nb_qq_scale = np.zeros((S, A, A), np.float32)
+    if props.vdWTerm:
+        for s, t in enumerate(terms):
+            v = t.vdw
+            if v.n_terms:
+                i, j = v.atoms[:, 0], v.atoms[:, 1]
+                nb_rstar[s, i, j] = v.params["rstar"]
+                nb_eps[s, i, j] = v.params["eps"]
+                nb_vdw_mask[s, i, j] = True
+    if props.eleTerm:
+        for s, t in enumerate(terms):
+            e = t.ele
+            if e.n_terms:
+                i, j = e.atoms[:, 0], e.atoms[:, 1]
+                scale = np.where(e.params["is_1_4"] > 0.5, 0.75, 1.0)
+                nb_qq_scale[s, i, j] = e.params["qq"] * scale
+
     return MMFFBatch(
         n_systems=S,
-        max_atoms=max_atoms,
+        max_atoms=A,
         diel_constant=props.dielConstant,
         diel_model=props.dielModel,
+        offsets=tuple(offsets),
         atom_mask=jnp.asarray(atom_mask),
+        onehot=jnp.asarray(onehot),
         tables=tables,
+        nb_rstar=jnp.asarray(nb_rstar),
+        nb_eps=jnp.asarray(nb_eps),
+        nb_vdw_mask=jnp.asarray(nb_vdw_mask),
+        nb_qq_scale=jnp.asarray(nb_qq_scale),
     )
 
 
@@ -121,29 +164,21 @@ def make_batched_mmff(
     return batch_mmff_terms(terms, [m.num_atoms for m in mols], max_atoms, props)
 
 
-# --- geometry helpers (shared style with models/uff/energy.py) -------------
-
 _EX = np.asarray([1.0, 0.0, 0.0], np.float32)
 _EY = np.asarray([0.0, 1.0, 0.0], np.float32)
 _EZ = np.asarray([0.0, 0.0, 1.0], np.float32)
 
 
-def _gather(positions, t, slot):
-    S, A, _ = positions.shape
-    flat = positions.reshape(S * A, 3)
-    return flat[t["system"] * A + t["atoms"][:, slot]]
-
-
 def _safe(d, mask, unit):
-    return jnp.where(mask[:, None], d, unit.astype(d.dtype))
+    return jnp.where(mask[..., None], d, unit.astype(d.dtype))
 
 
 def _norm(d):
     return jnp.sqrt(jnp.sum(d * d, axis=-1) + _EPS)
 
 
-def _bond(positions, t):
-    d = _safe(_gather(positions, t, 0) - _gather(positions, t, 1), t["mask"], _EX)
+def _bond(p, t):
+    d = _safe(p[0] - p[1], t["mask"], _EX)
     dr = _norm(d) - t["r0"]
     e = (
         0.5 * 143.9325 * t["kb"] * dr * dr
@@ -152,15 +187,11 @@ def _bond(positions, t):
     return jnp.where(t["mask"], e, 0.0)
 
 
-def _angle_deg(positions, t):
-    u = _safe(_gather(positions, t, 0) - _gather(positions, t, 1), t["mask"], _EX)
-    v = _safe(_gather(positions, t, 2) - _gather(positions, t, 1), t["mask"], _EY)
-    cos = jnp.clip(jnp.sum(u * v, axis=-1) / (_norm(u) * _norm(v)), -1.0, 1.0)
-    return jnp.arccos(cos) * _DEG, cos
-
-
-def _angle(positions, t):
-    theta, cos = _angle_deg(positions, t)
+def _angle(p, t):
+    u = _safe(p[0] - p[1], t["mask"], _EX)
+    v = _safe(p[2] - p[1], t["mask"], _EY)
+    cos = jnp.clip(jnp.sum(u * v, -1) / (_norm(u) * _norm(v)), -1.0, 1.0)
+    theta = jnp.arccos(cos) * _DEG
     dt = theta - t["theta0"]
     bent = 0.5 * 0.043844 * t["ka"] * dt * dt * (1.0 + _CB * dt)
     linear = 143.9325 * t["ka"] * (1.0 + cos)
@@ -168,15 +199,12 @@ def _angle(positions, t):
     return jnp.where(t["mask"], e, 0.0)
 
 
-def _stretch_bend(positions, t):
-    pi = _gather(positions, t, 0)
-    pj = _gather(positions, t, 1)
-    pk = _gather(positions, t, 2)
-    u = _safe(pi - pj, t["mask"], _EX)
-    v = _safe(pk - pj, t["mask"], _EY)
+def _stretch_bend(p, t):
+    u = _safe(p[0] - p[1], t["mask"], _EX)
+    v = _safe(p[2] - p[1], t["mask"], _EY)
     rij = _norm(u)
     rkj = _norm(v)
-    cos = jnp.clip(jnp.sum(u * v, axis=-1) / (rij * rkj), -1.0, 1.0)
+    cos = jnp.clip(jnp.sum(u * v, -1) / (rij * rkj), -1.0, 1.0)
     dt = jnp.arccos(cos) * _DEG - t["theta0"]
     e = 2.51210 * (
         t["kba_ijk"] * (rij - t["r0_ij"]) + t["kba_kji"] * (rkj - t["r0_kj"])
@@ -184,35 +212,24 @@ def _stretch_bend(positions, t):
     return jnp.where(t["mask"], e, 0.0)
 
 
-def _oop(positions, t):
-    # Wilson angle chi of bond j-l vs plane (i, j, k); j is the center
-    pi = _gather(positions, t, 0)
-    pj = _gather(positions, t, 1)
-    pk = _gather(positions, t, 2)
-    pl = _gather(positions, t, 3)
-    rji = _safe(pi - pj, t["mask"], _EX)
-    rjk = _safe(pk - pj, t["mask"], _EY)
-    rjl = _safe(pl - pj, t["mask"], _EZ)
+def _oop(p, t):
+    rji = _safe(p[0] - p[1], t["mask"], _EX)
+    rjk = _safe(p[2] - p[1], t["mask"], _EY)
+    rjl = _safe(p[3] - p[1], t["mask"], _EZ)
     n = jnp.cross(rji, rjk)
-    sin_chi = jnp.clip(
-        jnp.sum(n * rjl, axis=-1) / (_norm(n) * _norm(rjl)), -1.0, 1.0
-    )
+    sin_chi = jnp.clip(jnp.sum(n * rjl, -1) / (_norm(n) * _norm(rjl)), -1.0, 1.0)
     chi = jnp.arcsin(sin_chi) * _DEG
     e = 0.5 * 0.043844 * t["koop"] * chi * chi
     return jnp.where(t["mask"], e, 0.0)
 
 
-def _torsion(positions, t):
-    pi = _gather(positions, t, 0)
-    pj = _gather(positions, t, 1)
-    pk = _gather(positions, t, 2)
-    pl = _gather(positions, t, 3)
-    b1 = _safe(pj - pi, t["mask"], _EX)
-    b2 = _safe(pk - pj, t["mask"], _EY)
-    b3 = _safe(pl - pk, t["mask"], _EZ)
+def _torsion(p, t):
+    b1 = _safe(p[1] - p[0], t["mask"], _EX)
+    b2 = _safe(p[2] - p[1], t["mask"], _EY)
+    b3 = _safe(p[3] - p[2], t["mask"], _EZ)
     n1 = jnp.cross(b1, b2)
     n2 = jnp.cross(b2, b3)
-    c = jnp.clip(jnp.sum(n1 * n2, axis=-1) / (_norm(n1) * _norm(n2)), -1.0, 1.0)
+    c = jnp.clip(jnp.sum(n1 * n2, -1) / (_norm(n1) * _norm(n2)), -1.0, 1.0)
     cos2 = 2.0 * c * c - 1.0
     cos3 = c * (2.0 * cos2 - 1.0)
     e = 0.5 * (
@@ -221,49 +238,50 @@ def _torsion(positions, t):
     return jnp.where(t["mask"], e, 0.0)
 
 
-def _vdw(positions, t):
-    d = _safe(
-        _gather(positions, t, 0) - _gather(positions, t, 1), t["mask"], _EX * 10.0
+_BONDED = {
+    "bonds": _bond,
+    "angles": _angle,
+    "stretch_bends": _stretch_bend,
+    "oop": _oop,
+    "torsions": _torsion,
+}
+
+
+def _nonbonded_dense(positions, batch: MMFFBatch) -> jnp.ndarray:
+    sq = jnp.sum(positions * positions, axis=-1)
+    gram = jnp.einsum(
+        "sad,sbd->sab", positions, positions, preferred_element_type=jnp.float32
     )
-    r = _norm(d)
-    rstar = t["rstar"]
+    r2 = jnp.maximum(sq[:, :, None] + sq[:, None, :] - 2.0 * gram, 1e-2)
+    r = jnp.sqrt(r2)
+
+    rstar = jnp.maximum(batch.nb_rstar, 1e-3)
     ratio = 1.07 * rstar / (r + 0.07 * rstar)
-    r7 = r**7
+    r7 = r2**3 * r
     rs7 = rstar**7
-    e = t["eps"] * ratio**7 * (1.12 * rs7 / (r7 + 0.12 * rs7) - 2.0)
-    return jnp.where(t["mask"], e, 0.0)
+    e_vdw = batch.nb_eps * ratio**7 * (1.12 * rs7 / (r7 + 0.12 * rs7) - 2.0)
+    e_vdw = jnp.sum(jnp.where(batch.nb_vdw_mask, e_vdw, 0.0), axis=(1, 2))
 
-
-def _make_ele(diel_constant, diel_model):
-    def _ele(positions, t):
-        d = _safe(
-            _gather(positions, t, 0) - _gather(positions, t, 1), t["mask"], _EX * 10.0
-        )
-        r = _norm(d) + 0.05
-        denom = diel_constant * (r if diel_model == 1 else r * r)
-        scale = jnp.where(t["is_1_4"] > 0.5, 0.75, 1.0)
-        e = 332.0716 * t["qq"] * scale / denom
-        return jnp.where(t["mask"], e, 0.0)
-
-    return _ele
+    rb = r + 0.05
+    denom = batch.diel_constant * (rb if batch.diel_model == 1 else rb * rb)
+    e_ele = jnp.sum(332.0716 * batch.nb_qq_scale / denom, axis=(1, 2))
+    return e_vdw + e_ele
 
 
 def mmff_energy(positions: jnp.ndarray, batch: MMFFBatch) -> jnp.ndarray:
     """Per-system MMFF energies [S] (kcal/mol)."""
-    fns = {
-        "bonds": _bond,
-        "angles": _angle,
-        "stretch_bends": _stretch_bend,
-        "oop": _oop,
-        "torsions": _torsion,
-        "vdw": _vdw,
-        "ele": _make_ele(batch.diel_constant, batch.diel_model),
-    }
-    S = positions.shape[0]
-    total = jnp.zeros(S, dtype=positions.dtype)
-    for kind, t in batch.tables.items():
-        e = fns[kind](positions, t)
-        total = total + jax.ops.segment_sum(e, t["system"], num_segments=S)
+    total = _nonbonded_dense(positions, batch)
+    slots = [
+        jnp.einsum(
+            "sta,sad->std", batch.onehot[s], positions,
+            preferred_element_type=jnp.float32,
+        )
+        for s in range(4)
+    ]
+    for kind, start, count in batch.offsets:
+        p = tuple(sl[:, start : start + count] for sl in slots)
+        e = _BONDED[kind](p, batch.tables[kind])
+        total = total + jnp.sum(e, axis=1)
     return total
 
 
