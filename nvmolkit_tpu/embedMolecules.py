@@ -95,6 +95,7 @@ def EmbedMolecules(
     hardwareOptions: HardwareOptions | None = None,
     failures: EmbedFailureCounts | None = None,
     torsionProvider=None,
+    debugMode: bool = False,
 ) -> Dense3DResult:
     """Generate conformers for every molecule; also appends them to each
     ``Mol``'s conformer list. Returns a Dense3DResult (conf_mask marks
@@ -126,12 +127,17 @@ def EmbedMolecules(
 
     key = jax.random.PRNGKey(params.randomSeed)
 
+    from nvmolkit_tpu.utils.profiling import StageTimer
+
+    timer = StageTimer() if debugMode else None
     for bucket, mol_ids in sorted(buckets.items()):
         key, sub = jax.random.split(key)
         _embed_bucket(
             molecules, mol_ids, bucket, confsPerMolecule, maxIterations,
-            params, sub, out_pos, out_conf_mask, fail, torsionProvider,
+            params, sub, out_pos, out_conf_mask, fail, torsionProvider, timer,
         )
+    if timer is not None:
+        print(timer.report())
 
     # RMS pruning during writeback (rdkit_extensions/conformer_pruning role)
     if params.pruneRmsThresh > 0:
@@ -162,8 +168,12 @@ def EmbedMolecules(
 
 def _embed_bucket(
     molecules, mol_ids, bucket, confs_per_mol, max_iterations, params, key,
-    out_pos, out_conf_mask, fail, torsion_provider=None,
+    out_pos, out_conf_mask, fail, torsion_provider=None, timer=None,
 ):
+    import contextlib
+
+    def stage(name):
+        return timer.stage(name) if timer is not None else contextlib.nullcontext()
     A = bucket
     M = len(mol_ids)
 
@@ -208,9 +218,10 @@ def _embed_bucket(
             tetra_mask[k, : len(tq)] = True
 
     # device: triangle smoothing once per unique molecule
-    ub_j, lb_j, consistent = triangle_smooth_bounds(
-        jnp.asarray(upper), jnp.asarray(lower), jnp.asarray(atom_mask)
-    )
+    with stage("triangle_smoothing"):
+        ub_j, lb_j, consistent = triangle_smooth_bounds(
+            jnp.asarray(upper), jnp.asarray(lower), jnp.asarray(atom_mask)
+        )
     consistent = np.asarray(consistent)
     fail.smoothing += int((~consistent).sum()) * confs_per_mol
     ub_np, lb_np = np.asarray(ub_j), np.asarray(lb_j)
@@ -275,32 +286,37 @@ def _embed_bucket(
         if not needed.any():
             break
         key, k_coords = jax.random.split(key)
-        coords4 = random_distance_matrices(
-            k_coords, ub_s, lb_s, am_s, n_dims=4
-        )  # [S, A, 4]
+        with stage("coordgen"):
+            coords4 = random_distance_matrices(
+                k_coords, ub_s, lb_s, am_s, n_dims=4
+            )  # [S, A, 4]
 
-        res1 = batched_bfgs_minimize(
-            dg_eg, coords4, am_s, max_iters=params.firstMinimizeIters,
-            energy_args=args_first,
-        )
-        res2 = batched_bfgs_minimize(
-            dg_eg, res1.positions, am_s,
-            max_iters=params.fourthDimMinimizeIters, energy_args=args_second,
-        )
+        with stage("first_minimization"):
+            res1 = batched_bfgs_minimize(
+                dg_eg, coords4, am_s, max_iters=params.firstMinimizeIters,
+                energy_args=args_first,
+            )
+        with stage("fourth_dim_minimization"):
+            res2 = batched_bfgs_minimize(
+                dg_eg, res1.positions, am_s,
+                max_iters=params.fourthDimMinimizeIters, energy_args=args_second,
+            )
         pos3 = res2.positions[..., :3]  # [S, A, 3]
         if use_etk:
             from nvmolkit_tpu.models.etk import etk_eg
 
-            res3 = batched_bfgs_minimize(
-                etk_eg, pos3, am_s, max_iters=params.etkMinimizeIters,
-                energy_args=args_etk,
-            )
+            with stage("etk_minimization"):
+                res3 = batched_bfgs_minimize(
+                    etk_eg, pos3, am_s, max_iters=params.etkMinimizeIters,
+                    energy_args=args_etk,
+                )
             pos3 = res3.positions
 
-        ok_bounds, ok_chiral, ok_tetra = _check_embeddings(
-            pos3, ub_s, lb_s, pair_mask, ci_s, clb_s, cub_s, cm_s,
-            ti_s, tm_s, params.maxViolationRatio, params.minTetrahedralVolume,
-        )
+        with stage("stereo_checks"):
+            ok_bounds, ok_chiral, ok_tetra = _check_embeddings(
+                pos3, ub_s, lb_s, pair_mask, ci_s, clb_s, cub_s, cm_s,
+                ti_s, tm_s, params.maxViolationRatio, params.minTetrahedralVolume,
+            )
         ok_bounds = np.asarray(ok_bounds)
         ok_chiral = np.asarray(ok_chiral)
         ok_tetra = np.asarray(ok_tetra)

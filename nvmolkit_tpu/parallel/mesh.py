@@ -38,3 +38,27 @@ def replicate(x: jax.Array | np.ndarray, mesh: Mesh) -> jax.Array:
 
 def pad_to_multiple(n: int, multiple: int) -> int:
     return ((n + multiple - 1) // multiple) * multiple
+
+
+def shard_batch_pytree(pytree, mesh: Mesh, batch_size: int):
+    """Shard every leaf whose leading dim equals ``batch_size`` over the
+    'mols' axis; replicate the rest.
+
+    Handles the force-field batch pytrees (UFFBatch/MMFFBatch), whose
+    fused one-hot tensors carry a leading arity axis of 4 followed by
+    the system axis.
+    """
+    import jax
+
+    def place(leaf):
+        if not hasattr(leaf, "shape") or leaf.ndim == 0:
+            return leaf
+        if leaf.shape[0] == batch_size:
+            spec = P(MOL_AXIS, *([None] * (leaf.ndim - 1)))
+        elif leaf.ndim >= 2 and leaf.shape[0] == 4 and leaf.shape[1] == batch_size:
+            spec = P(None, MOL_AXIS, *([None] * (leaf.ndim - 2)))
+        else:
+            spec = P()
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map(place, pytree)
