@@ -110,6 +110,29 @@ def topological_bounds(mol: Mol) -> tuple[np.ndarray, np.ndarray]:
                 upper[i, l] = upper[l, i] = u
                 lower[i, l] = lower[l, i] = lo
 
+    # E/Z double bonds: pin the flanking 1-4 distance to the cis or the
+    # trans geometry (the reference's stereo-double-bond handling;
+    # embedder_utils findDoubleBonds + stereo checks)
+    from nvmolkit_tpu.chem.stereo import find_stereo_double_bonds
+
+    for sdb in find_stereo_double_bonds(mol):
+        i, j, k, l = sdb.i, sdb.j, sdb.k, sdb.l
+        rij, rjk, rkl = r0[(i, j)], r0[(j, k)], r0[(k, l)]
+        tj = math.radians(params[j].theta0)
+        tk = math.radians(params[k].theta0)
+
+        def d14(phi):
+            bx = rij * math.cos(tj)
+            by = rij * math.sin(tj)
+            cx = rjk - rkl * math.cos(tk)
+            cy = rkl * math.sin(tk) * math.cos(phi)
+            cz = rkl * math.sin(tk) * math.sin(phi)
+            return math.sqrt((bx - cx) ** 2 + (by - cy) ** 2 + cz**2)
+
+        d = d14(0.0) if sdb.is_cis else d14(math.pi)
+        upper[i, l] = upper[l, i] = d * 1.03
+        lower[i, l] = lower[l, i] = d * 0.97
+
     np.fill_diagonal(upper, 0.0)
     np.fill_diagonal(lower, 0.0)
     return upper.astype(np.float32), lower.astype(np.float32)
