@@ -84,3 +84,13 @@ def test_input_validation():
         crossTanimotoSimilarity(np.zeros((3, 4, 5), dtype=np.uint32))
     with pytest.raises(ValueError):
         crossTanimotoSimilarity(np.zeros((3, 4), dtype=np.float32))
+
+
+def test_pallas_tanimoto_matches_xla(packed_fps):
+    """Pallas fused kernel (interpret mode on CPU) vs the f64 oracle."""
+    from nvmolkit_tpu.ops.pallas_similarity import cross_tanimoto_pallas
+
+    fps = np.concatenate([packed_fps] * 3)[:256]  # pad to block multiple
+    got = np.asarray(cross_tanimoto_pallas(fps, fps, block=128, interpret=True))
+    want = cross_similarity_cpu(fps, fps, "tanimoto")
+    np.testing.assert_allclose(got, want, atol=1e-5)
