@@ -264,6 +264,97 @@ void assign_implicit_hs(Molecule& m) {
   }
 }
 
+// Hückel 4n+2 aromaticity perception for Kekulé-form input
+// (mirrors nvmolkit_tpu/chem/aromaticity.py).
+void perceive_aromaticity(Molecule& m) {
+  // smallest ring through each ring bond, deduped by atom set
+  std::vector<std::vector<int32_t>> rings;
+  std::vector<std::vector<bool>> seen_sets;
+  size_t n = m.atoms.size();
+  for (size_t bi = 0; bi < m.bonds.size(); ++bi) {
+    if (!m.bonds[bi].in_ring) continue;
+    int32_t start = m.bonds[bi].a, goal = m.bonds[bi].b;
+    std::vector<int32_t> prev(n, -2);
+    prev[start] = -1;
+    std::deque<int32_t> q{start};
+    std::vector<int32_t> path;
+    while (!q.empty() && path.empty()) {
+      int32_t u = q.front();
+      q.pop_front();
+      for (int32_t bj : m.adj[u]) {
+        if ((size_t)bj == bi) continue;
+        int32_t v = m.other(bj, u);
+        if (prev[v] != -2) continue;
+        prev[v] = u;
+        if (v == goal) {
+          for (int32_t x = v; x != -1; x = prev[x]) path.push_back(x);
+          break;
+        }
+        q.push_back(v);
+      }
+    }
+    if (path.empty() || path.size() > 7) continue;
+    std::vector<bool> set(n, false);
+    for (int32_t a : path) set[a] = true;
+    bool dup = false;
+    for (auto& s : seen_sets)
+      if (s == set) { dup = true; break; }
+    if (!dup) {
+      seen_sets.push_back(set);
+      rings.push_back(path);
+    }
+  }
+
+  for (auto& ring : rings) {
+    std::vector<bool> in_this(n, false);
+    for (int32_t a : ring) in_this[a] = true;
+    bool all_arom = true;
+    for (int32_t a : ring)
+      if (!m.atoms[a].aromatic) { all_arom = false; break; }
+    if (all_arom) continue;
+
+    int pi = 0;
+    bool ok = true;
+    for (int32_t a : ring) {
+      const Atom& atom = m.atoms[a];
+      bool double_in = false, double_exo = false, has_triple = false;
+      for (int32_t bi : m.adj[a]) {
+        const Bond& b = m.bonds[bi];
+        int32_t other = m.other(bi, a);
+        if (b.type == DOUBLE || b.type == AROMATIC) {
+          if (in_this[other] || m.atoms[other].in_ring) double_in = true;
+          else double_exo = true;
+        } else if (b.type == TRIPLE) {
+          has_triple = true;
+        }
+      }
+      if (has_triple) { ok = false; break; }
+      if (double_in) pi += 1;
+      else if (double_exo) { ok = false; break; }
+      else if ((atom.atomic_num == 7 || atom.atomic_num == 8 ||
+                atom.atomic_num == 16) && atom.charge == 0) pi += 2;
+      else if (atom.atomic_num == 6 && atom.charge == -1) pi += 2;
+      else { ok = false; break; }
+    }
+    if (!ok || pi < 2 || (pi - 2) % 4 != 0) continue;
+
+    for (int32_t a : ring) {
+      Atom& atom = m.atoms[a];
+      if (!atom.aromatic) {
+        atom.explicit_hs += atom.implicit_hs;  // freeze Kekulé H count
+        atom.implicit_hs = 0;
+        atom.from_bracket = true;
+        atom.aromatic = true;
+      }
+    }
+    for (auto& b : m.bonds) {
+      if (in_this[b.a] && in_this[b.b] && b.in_ring &&
+          (b.type == SINGLE || b.type == DOUBLE))
+        b.type = AROMATIC;
+    }
+  }
+}
+
 bool parse_smiles(const std::string& smiles, Molecule& mol) {
   int32_t prev = -1;
   bool has_pending = false;
@@ -398,6 +489,7 @@ bool parse_smiles(const std::string& smiles, Molecule& mol) {
       b.type = AROMATIC;
   }
   assign_implicit_hs(mol);
+  perceive_aromaticity(mol);
   return true;
 }
 

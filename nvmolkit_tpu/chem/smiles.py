@@ -209,4 +209,8 @@ def mol_from_smiles(smiles: str, sanitize: bool = True) -> Mol:
             b.is_aromatic = True
     if sanitize:
         mol.finalize()  # re-run with final bond orders
+        # Kekulé-form rings (C1=CC=CC=C1) -> aromatic perception
+        from nvmolkit_tpu.chem.aromaticity import perceive_aromaticity
+
+        perceive_aromaticity(mol)
     return mol
