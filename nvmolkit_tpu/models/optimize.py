@@ -75,23 +75,41 @@ def optimize_molecules_confs(
     converged_out = np.zeros((n_mols, max_confs), dtype=bool)
     energies_out = np.zeros((n_mols, max_confs), dtype=np.float32)
 
+    from nvmolkit_tpu.parallel.distributed import distributed_minimize, resolve_devices
+
+    devices = resolve_devices(opts.deviceIds)
+    multi = len(devices) > 1
+
     for bucket, systems in sorted(bucket_systems.items()):
         sys_mols = [mols[s.mol_idx] for s in systems]
-        batch = make_batch_fn(sys_mols, bucket)
         S = len(systems)
-        pos0 = np.zeros((S, bucket, 3), dtype=np.float32)
+        n_pad = 0
+        if multi and S % len(devices):
+            n_pad = len(devices) - S % len(devices)
+            sys_mols = sys_mols + [sys_mols[0]] * n_pad
+        batch = make_batch_fn(sys_mols, bucket)
+        pos0 = np.zeros((S + n_pad, bucket, 3), dtype=np.float32)
         for k, s in enumerate(systems):
             m = mols[s.mol_idx]
             pos0[k, : m.num_atoms] = m.conformers[s.conf_idx]
+        if n_pad:
+            m0 = mols[systems[0].mol_idx]
+            pos0[S:, : m0.num_atoms] = m0.conformers[systems[0].conf_idx]
 
-        res = batched_bfgs_minimize(
-            energy_and_grad_fn,
-            jnp.asarray(pos0),
-            batch.atom_mask,
-            max_iters=max_iters,
-            grad_tol=grad_tol,
-            energy_args=batch,
-        )
+        if multi:
+            res = distributed_minimize(
+                energy_and_grad_fn, batch, pos0, batch.atom_mask, devices,
+                max_iters=max_iters, grad_tol=grad_tol,
+            )
+        else:
+            res = batched_bfgs_minimize(
+                energy_and_grad_fn,
+                jnp.asarray(pos0),
+                batch.atom_mask,
+                max_iters=max_iters,
+                grad_tol=grad_tol,
+                energy_args=batch,
+            )
         e = np.asarray(res.energies)
         conv = np.asarray(res.converged)
         pos = np.asarray(res.positions)

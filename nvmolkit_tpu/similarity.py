@@ -26,16 +26,37 @@ def _as_packed(fp) -> jnp.ndarray:
     return arr.view(jnp.uint32) if arr.dtype == jnp.int32 else arr
 
 
-def crossTanimotoSimilarity(fingerprint_group_one, fingerprint_group_two=None) -> AsyncResult:
-    a = _as_packed(fingerprint_group_one)
-    b = a if fingerprint_group_two is None else _as_packed(fingerprint_group_two)
-    return AsyncResult(cross_similarity(a, b, metric="tanimoto"))
+def _cross(a, b, metric, hardwareOptions):
+    if hardwareOptions is not None and hardwareOptions.deviceIds:
+        from nvmolkit_tpu.parallel.distributed import (
+            distributed_cross_similarity,
+            resolve_devices,
+        )
+
+        devices = resolve_devices(hardwareOptions.deviceIds)
+        if len(devices) > 1:
+            return AsyncResult(
+                distributed_cross_similarity(
+                    np.asarray(a), np.asarray(b), devices, metric=metric
+                )
+            )
+    return AsyncResult(cross_similarity(a, b, metric=metric))
 
 
-def crossCosineSimilarity(fingerprint_group_one, fingerprint_group_two=None) -> AsyncResult:
+def crossTanimotoSimilarity(
+    fingerprint_group_one, fingerprint_group_two=None, hardwareOptions=None
+) -> AsyncResult:
     a = _as_packed(fingerprint_group_one)
     b = a if fingerprint_group_two is None else _as_packed(fingerprint_group_two)
-    return AsyncResult(cross_similarity(a, b, metric="cosine"))
+    return _cross(a, b, "tanimoto", hardwareOptions)
+
+
+def crossCosineSimilarity(
+    fingerprint_group_one, fingerprint_group_two=None, hardwareOptions=None
+) -> AsyncResult:
+    a = _as_packed(fingerprint_group_one)
+    b = a if fingerprint_group_two is None else _as_packed(fingerprint_group_two)
+    return _cross(a, b, "cosine", hardwareOptions)
 
 
 def crossTanimotoSimilarityMemoryConstrained(
