@@ -53,6 +53,11 @@ def make_smiles(n: int) -> list[str]:
             out.append(sc.replace("{X}", a + b))
             if len(out) >= n:
                 return out
+    for a, b, c in itertools.product(SUBSTITUENTS, repeat=3):
+        for sc in SCAFFOLDS:
+            out.append(sc.replace("{X}", a + b + c))
+            if len(out) >= n:
+                return out
     raise ValueError(f"can only generate {len(out)} unique molecules")
 
 

@@ -20,9 +20,11 @@ def main(n_mols: int = 10000, fp_size: int = 2048, radius: int = 3):
 
     smiles = make_smiles(n_mols)
     gen = MorganFingerprintGenerator(radius=radius, fpSize=fp_size)
+    gen.GetFingerprintsFromSmiles(smiles).numpy()  # compile at full shapes
     with Timer() as t_fp:
-        fps = gen.GetFingerprintsFromSmiles(smiles).jax()
-        fps.block_until_ready()
+        fps = gen.GetFingerprintsFromSmiles(smiles)
+        fps.numpy()
+        fps = fps.jax()
     emit("morgan_fp_e2e", n_mols / t_fp.elapsed, "mols/sec", n=n_mols)
 
     @jax.jit

@@ -82,3 +82,48 @@ class Dense3DResult:
             confs = [pos[m, c, :na] for c in range(pos.shape[1]) if cmask[m, c]]
             out.append(confs)
         return out
+
+    def dense(self, pad_value: float = 0.0):
+        """Padded view (the reference's ``Device3DResult.dense()``):
+        (positions, conf_mask, atom_mask) with masked entries set to
+        ``pad_value``."""
+        pos = np.asarray(self.positions).copy()
+        cmask = np.asarray(self.conf_mask)
+        amask = np.asarray(self.atom_mask)
+        pos[~cmask] = pad_value
+        for m in range(pos.shape[0]):
+            pos[m, :, ~amask[m]] = pad_value
+        return pos, cmask, amask
+
+    def csr(self):
+        """CSR view matching the reference's ``Device3DResult`` layout
+        (``nvmolkit/types.py:197-319``): flat positions [total_atoms, 3]
+        over accepted conformers plus atom_starts / mol_indices /
+        conf_indices arrays."""
+        pos = np.asarray(self.positions)
+        cmask = np.asarray(self.conf_mask)
+        amask = np.asarray(self.atom_mask)
+        flat, starts, mol_idx, conf_idx = [], [0], [], []
+        for m in range(self.n_mols):
+            na = int(amask[m].sum())
+            for c in range(pos.shape[1]):
+                if not cmask[m, c]:
+                    continue
+                flat.append(pos[m, c, :na])
+                starts.append(starts[-1] + na)
+                mol_idx.append(m)
+                conf_idx.append(c)
+        positions = (
+            np.concatenate(flat) if flat else np.zeros((0, 3), pos.dtype)
+        )
+        return {
+            "positions": positions,
+            "atom_starts": np.asarray(starts, np.int64),
+            "mol_indices": np.asarray(mol_idx, np.int32),
+            "conf_indices": np.asarray(conf_idx, np.int32),
+        }
+
+
+# Reference-name alias: the reference's device-resident conformer result
+# container is called Device3DResult; the TPU-native layout is dense.
+Device3DResult = Dense3DResult

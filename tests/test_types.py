@@ -1,0 +1,52 @@
+"""Result-type tests (reference ``test_types.py`` role: Device3DResult
+dense/per_molecule/CSR round-trips)."""
+import numpy as np
+
+import jax.numpy as jnp
+
+from nvmolkit_tpu.types import Dense3DResult, Device3DResult
+
+
+def _result():
+    pos = np.arange(2 * 3 * 4 * 3, dtype=np.float32).reshape(2, 3, 4, 3)
+    conf_mask = np.array([[True, True, False], [True, False, False]])
+    atom_mask = np.array([[True, True, True, False], [True, True, False, False]])
+    return Dense3DResult(
+        positions=jnp.asarray(pos),
+        conf_mask=jnp.asarray(conf_mask),
+        atom_mask=jnp.asarray(atom_mask),
+    )
+
+
+def test_alias():
+    assert Device3DResult is Dense3DResult
+
+
+def test_per_molecule():
+    r = _result()
+    pm = r.per_molecule()
+    assert len(pm) == 2
+    assert len(pm[0]) == 2 and len(pm[1]) == 1
+    assert pm[0][0].shape == (3, 3)
+    assert pm[1][0].shape == (2, 3)
+
+
+def test_dense_pads():
+    r = _result()
+    pos, cmask, amask = r.dense(pad_value=-1.0)
+    assert (pos[0, 2] == -1.0).all()       # masked conformer
+    assert (pos[0, 0, 3] == -1.0).all()    # masked atom
+    assert (pos[0, 0, 0] != -1.0).any()
+
+
+def test_csr_roundtrip():
+    r = _result()
+    csr = r.csr()
+    assert csr["positions"].shape == (3 + 3 + 2, 3)
+    np.testing.assert_array_equal(csr["atom_starts"], [0, 3, 6, 8])
+    np.testing.assert_array_equal(csr["mol_indices"], [0, 0, 1])
+    np.testing.assert_array_equal(csr["conf_indices"], [0, 1, 0])
+    # flat rows equal the dense rows
+    np.testing.assert_array_equal(
+        csr["positions"][:3], np.asarray(r.positions)[0, 0, :3]
+    )
