@@ -221,6 +221,65 @@ def find_matches(
     return matches, overflow
 
 
+def find_matches_vf2(
+    query: QueryMol,
+    tf: TargetFeatures,
+    max_matches: int = 10000,
+    uniquify: bool = True,
+) -> tuple[np.ndarray, bool]:
+    """DFS (VF2-style) matcher — the reference's second algorithm
+    (``substruct_algos.cuh vf2SearchGPU``). Same results as
+    :func:`find_matches`; useful as an independent oracle and for
+    early-exit `hasSubstructMatch` queries (depth-first finds the first
+    match without building a frontier)."""
+    nq = query.num_atoms
+    labels = label_matrix(query, tf)
+    if labels.size == 0 or not labels.any():
+        return np.zeros((0, nq), np.int32), False
+    order = _bfs_order(query, labels)
+    bond_mats = {bi: _bond_ok_matrix(b, tf) for bi, b in enumerate(query.bonds)}
+
+    matches: list[tuple[int, ...]] = []
+    seen: set[frozenset] = set()
+    overflow = False
+    assign = [-1] * len(order)
+    used = np.zeros(tf.n_atoms, bool)
+
+    def dfs(depth: int) -> bool:
+        nonlocal overflow
+        if depth == len(order):
+            row = np.empty(nq, np.int32)
+            for slot, (q, _) in enumerate(order):
+                row[q] = assign[slot]
+            if uniquify:
+                key = frozenset(row.tolist())
+                if key in seen:
+                    return False
+                seen.add(key)
+            matches.append(tuple(row))
+            if len(matches) >= max_matches:
+                overflow = True
+                return True
+            return False
+        q, back = order[depth]
+        cand = labels[:, q] & ~used
+        for slot, bi in back:
+            cand = cand & bond_mats[bi][assign[slot], :]
+        for t in np.nonzero(cand)[0]:
+            assign[depth] = int(t)
+            used[t] = True
+            stop = dfs(depth + 1)
+            used[t] = False
+            assign[depth] = -1
+            if stop:
+                return True
+        return False
+
+    dfs(0)
+    out = np.asarray(matches, np.int32).reshape(-1, nq)
+    return out, overflow
+
+
 def _recursive_roots(pattern: QueryMol, tf: TargetFeatures) -> np.ndarray:
     """[n] bool: atoms where the recursive pattern matches rooted at
     query atom 0 (the reference evaluates these leaf-first,

@@ -13,9 +13,20 @@ import dataclasses
 
 import numpy as np
 
+import enum
+
 from nvmolkit_tpu.chem.mol import Mol
 from nvmolkit_tpu.chem.smarts import QueryMol, parse_smarts
-from nvmolkit_tpu.ops.substruct import featurize_target, find_matches
+from nvmolkit_tpu.ops.substruct import featurize_target, find_matches, find_matches_vf2
+
+
+class SubstructAlgorithm(enum.Enum):
+    """Mirror of the reference's algorithm selector
+    (``substruct_results.h:26-29``): GSI = level-by-level BFS join
+    (default, vectorized), VF2 = depth-first backtracking."""
+
+    GSI = "gsi"
+    VF2 = "vf2"
 
 
 @dataclasses.dataclass
@@ -33,6 +44,7 @@ class SubstructSearchConfig:
     deviceIds: list[int] = dataclasses.field(default_factory=list)
     maxMatches: int = 10000
     uniquify: bool = True
+    algorithm: SubstructAlgorithm = SubstructAlgorithm.GSI
 
 
 @dataclasses.dataclass
@@ -89,9 +101,12 @@ def getSubstructMatches(
     pair_indptr = [0]
     overflowed: list[tuple[int, int]] = []
     cursor_atoms = 0
+    matcher = (
+        find_matches_vf2 if cfg.algorithm == SubstructAlgorithm.VF2 else find_matches
+    )
     for ti, tf in enumerate(tfs):
         for qi, q in enumerate(qmols):
-            m, over = find_matches(
+            m, over = matcher(
                 q, tf, max_matches=cfg.maxMatches, uniquify=cfg.uniquify
             )
             if over:

@@ -143,3 +143,21 @@ def test_functional_group_library():
     for ti, (smi, expect) in enumerate(probes.items()):
         got = {names[qi] for qi in range(len(names)) if has[ti, qi]}
         assert got == expect, f"{smi}: got {got}, expected {expect}"
+
+
+def test_vf2_matches_gsi(mols100):
+    """Both algorithms produce identical match sets (mutual oracles)."""
+    from nvmolkit_tpu.substructure import SubstructAlgorithm
+
+    queries = ["c1ccccc1", "[CX3](=O)[OX2H1]", "[C$(CO)]", "C~C~C", "[R]"]
+    targets = mols100[:40]
+    gsi = getSubstructMatches(targets, queries)
+    vf2 = getSubstructMatches(
+        targets, queries, SubstructSearchConfig(algorithm=SubstructAlgorithm.VF2)
+    )
+    np.testing.assert_array_equal(gsi.counts(), vf2.counts())
+    for ti in range(len(targets)):
+        for qi in range(len(queries)):
+            assert sorted(map(frozenset, gsi.matches(ti, qi))) == sorted(
+                map(frozenset, vf2.matches(ti, qi))
+            )
