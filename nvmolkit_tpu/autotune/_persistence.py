@@ -7,6 +7,7 @@ with unknown-key rejection.
 from __future__ import annotations
 
 import dataclasses
+import enum
 import json
 from pathlib import Path
 
@@ -26,7 +27,10 @@ def save_options(path, options) -> None:
     if isinstance(options, HardwareOptions):
         payload = options.to_dict()
     else:
-        payload = dataclasses.asdict(options)
+        payload = {
+            k: (v.value if isinstance(v, enum.Enum) else v)
+            for k, v in dataclasses.asdict(options).items()
+        }
     Path(path).write_text(json.dumps({"kind": kind, "options": payload}, indent=2))
 
 
@@ -42,4 +46,9 @@ def load_options(path):
     unknown = set(data["options"]) - fields
     if unknown:
         raise ValueError(f"unknown {kind} keys: {sorted(unknown)}")
-    return cls(**data["options"])
+    kwargs = dict(data["options"])
+    if kind == "SubstructSearchConfig" and isinstance(kwargs.get("algorithm"), str):
+        from nvmolkit_tpu.substructure import SubstructAlgorithm
+
+        kwargs["algorithm"] = SubstructAlgorithm(kwargs["algorithm"])
+    return cls(**kwargs)

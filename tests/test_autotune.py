@@ -107,3 +107,13 @@ def test_tune_cross_similarity_smoke(rng):
     res = tune_cross_similarity(fps, n_trials=2)
     assert res.best_value > 0
     assert res.best_params["dtype"] in ("int8", "bfloat16")
+
+
+def test_persistence_substruct_enum_roundtrip(tmp_path):
+    from nvmolkit_tpu.substructure import SubstructAlgorithm
+
+    cfg = SubstructSearchConfig(algorithm=SubstructAlgorithm.VF2)
+    p = tmp_path / "alg.json"
+    save_options(p, cfg)
+    back = load_options(p)
+    assert back.algorithm == SubstructAlgorithm.VF2
