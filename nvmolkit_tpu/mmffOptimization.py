@@ -20,6 +20,7 @@ def MMFFOptimizeMoleculesConfs(
     ignoreInterfragInteractions: bool = True,
     hardwareOptions: HardwareOptions | None = None,
     provider=None,
+    backend: str = "lbfgs",
 ):
     """Minimize all conformers of all molecules under MMFF94.
 
@@ -44,6 +45,7 @@ def MMFFOptimizeMoleculesConfs(
         mmff_energy_and_grad,
         max_iters=maxIters,
         hardware_options=hardwareOptions,
+        backend=backend,
     )
     results = [
         [(statuses[m][c], energies[m][c]) for c in range(len(molecules[m].conformers))]

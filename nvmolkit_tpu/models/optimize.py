@@ -40,6 +40,7 @@ def optimize_molecules_confs(
     max_iters: int = 200,
     grad_tol: float = 1e-4,
     hardware_options: HardwareOptions | None = None,
+    backend: str = "lbfgs",
 ):
     """Minimize every conformer of every molecule.
 
@@ -102,13 +103,16 @@ def optimize_molecules_confs(
                 max_iters=max_iters, grad_tol=grad_tol,
             )
         else:
-            res = batched_bfgs_minimize(
+            from nvmolkit_tpu.ops.minimize_driver import minimize_compacting
+
+            res = minimize_compacting(
                 energy_and_grad_fn,
                 jnp.asarray(pos0),
                 batch.atom_mask,
+                batch,
                 max_iters=max_iters,
                 grad_tol=grad_tol,
-                energy_args=batch,
+                backend=backend,
             )
         e = np.asarray(res.energies)
         conv = np.asarray(res.converged)

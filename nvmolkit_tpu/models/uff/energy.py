@@ -84,6 +84,27 @@ def _nb_exclusion(mol: Mol) -> list[tuple[int, int]]:
     return excluded
 
 
+def _nb_rows(m: Mol, max_atoms: int):
+    """Cached per-molecule nonbonded data at a given bucket size."""
+    cache = getattr(m, "_uff_nb_cache", None)
+    if cache is not None and cache[0] == max_atoms:
+        return cache[1]
+    na = m.num_atoms
+    A = max_atoms
+    ap = [uff_atom_type(m, i) for i in range(na)]
+    x = np.zeros(A, np.float32)
+    d = np.zeros(A, np.float32)
+    x[:na] = [p.x1 for p in ap]
+    d[:na] = [p.D1 for p in ap]
+    mask = np.zeros((A, A), bool)
+    mask[:na, :na] = np.triu(np.ones((na, na), bool), 1)
+    for (i, j) in _nb_exclusion(m):
+        mask[i, j] = False
+    rows = (x, d, mask)
+    m._uff_nb_cache = (max_atoms, rows)
+    return rows
+
+
 def batch_uff_terms(
     terms: list[UFFTerms],
     mols: list[Mol],
@@ -92,23 +113,17 @@ def batch_uff_terms(
     S = len(terms)
     A = max_atoms
     atom_mask = np.zeros((S, A), bool)
-    vdw_x = np.zeros((S, A), np.float32)
-    vdw_d = np.zeros((S, A), np.float32)
-    nb_mask = np.zeros((S, A, A), bool)
-    triu = np.triu(np.ones((A, A), bool), 1)
+    vdw_x = np.empty((S, A), np.float32)
+    vdw_d = np.empty((S, A), np.float32)
+    nb_mask = np.empty((S, A, A), bool)
     for s, m in enumerate(mols):
         na = m.num_atoms
         if na > A:
             raise ValueError(f"system {s} has {na} atoms > bucket {A}")
         atom_mask[s, :na] = True
-        ap = [uff_atom_type(m, i) for i in range(na)]
-        vdw_x[s, :na] = [p.x1 for p in ap]
-        vdw_d[s, :na] = [p.D1 for p in ap]
-        mask = np.zeros((A, A), bool)
-        mask[:na, :na] = True
-        mask &= triu
-        for (i, j) in _nb_exclusion(m):
-            mask[i, j] = False
+        x, d, mask = _nb_rows(m, A)
+        vdw_x[s] = x
+        vdw_d[s] = d
         nb_mask[s] = mask
 
     # fuse all bonded kinds into one 4-slot selection table
@@ -148,9 +163,22 @@ def batch_uff_terms(
 def make_batched_uff(
     mols: list[Mol], max_atoms: int, vdw_threshold: float = 100.0
 ) -> UFFBatch:
-    """Build and batch UFF terms for a bucket of molecules."""
+    """Build and batch UFF terms for a bucket of molecules.
+
+    Per-molecule parametrization is cached on the Mol object (the
+    reference caches contribs per ROMol*, ``bfgs_mmff.cpp:199``) — a
+    batch of many conformers of the same molecules parametrizes each
+    molecule once. Editing a Mol's graph after the first use requires a
+    fresh Mol (or deleting ``_uff_terms_cache``).
+    """
     del vdw_threshold  # dense nonbonded keeps all pairs (x_ij << any cutoff)
-    terms = [build_uff_terms(m) for m in mols]
+    terms = []
+    for m in mols:
+        cached = getattr(m, "_uff_terms_cache", None)
+        if cached is None:
+            cached = build_uff_terms(m)
+            m._uff_terms_cache = cached
+        terms.append(cached)
     return batch_uff_terms(terms, mols, max_atoms)
 
 

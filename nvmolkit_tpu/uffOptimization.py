@@ -21,6 +21,7 @@ def UFFOptimizeMoleculesConfs(
     ignoreInterfragInteractions: bool = True,
     nonBondedThreshold: float | None = None,
     hardwareOptions: HardwareOptions | None = None,
+    backend: str = "lbfgs",
 ):
     """Minimize all conformers of all molecules under UFF.
 
@@ -43,6 +44,7 @@ def UFFOptimizeMoleculesConfs(
         uff_energy_and_grad,
         max_iters=maxIters,
         hardware_options=hardwareOptions,
+        backend=backend,
     )
     results = [
         [(statuses[m][c], energies[m][c]) for c in range(len(molecules[m].conformers))]

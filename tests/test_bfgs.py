@@ -129,3 +129,47 @@ def test_benzene_planarity(rng):
     for i in range(6):
         r = np.linalg.norm(pos[i] - pos[(i + 1) % 6])
         assert abs(r - 1.40) < 0.06
+
+
+def test_lbfgs_matches_bfgs_on_quadratic():
+    from nvmolkit_tpu.ops.lbfgs import batched_lbfgs_minimize
+
+    S, A = 3, 2
+    centers = jnp.asarray(
+        np.arange(S * A * 3, dtype=np.float32).reshape(S, A, 3) / 7.0
+    )
+
+    def eg(p, _):
+        d = p - centers
+        return jnp.sum(d * d, axis=(1, 2)), 2 * d
+
+    pos0 = jnp.zeros((S, A, 3), dtype=jnp.float32)
+    mask = jnp.ones((S, A), dtype=bool)
+    res = batched_lbfgs_minimize(eg, pos0, mask, max_iters=100, energy_args={})
+    assert np.asarray(res.converged).all()
+    np.testing.assert_allclose(np.asarray(res.positions), np.asarray(centers), atol=1e-3)
+
+
+def test_compacting_driver_matches_plain(rng):
+    from nvmolkit_tpu.chem import mol_from_smiles
+    from nvmolkit_tpu.models.uff.energy import make_batched_uff, uff_energy_and_grad
+    from nvmolkit_tpu.ops.minimize_driver import minimize_compacting
+
+    mols = [mol_from_smiles(s) for s in ["CCO", "CCCC", "c1ccccc1", "CC(=O)O"] * 3]
+    A = 16
+    batch = make_batched_uff(mols, max_atoms=A)
+    pos0 = np.zeros((len(mols), A, 3), dtype=np.float32)
+    for i, m in enumerate(mols):
+        pos0[i, : m.num_atoms] = _lattice(m.num_atoms, rng)
+    res = minimize_compacting(
+        uff_energy_and_grad, jnp.asarray(pos0), batch.atom_mask, batch,
+        max_iters=300, backend="lbfgs", phase1_iters=30,
+    )
+    e = np.asarray(res.energies)
+    assert np.asarray(res.converged).sum() >= 10
+    assert (e < 60.0).all()
+    with pytest.raises(ValueError):
+        minimize_compacting(
+            uff_energy_and_grad, jnp.asarray(pos0), batch.atom_mask, batch,
+            backend="nope",
+        )
