@@ -117,13 +117,15 @@ def optimize_molecules_confs(
         e = np.asarray(res.energies)
         conv = np.asarray(res.converged)
         pos = np.asarray(res.positions)
-        for k, s in enumerate(systems):
-            m = mols[s.mol_idx]
-            energies[s.mol_idx][s.conf_idx] = float(e[k])
-            statuses[s.mol_idx][s.conf_idx] = 0 if bool(conv[k]) else 1
-            out_pos[s.mol_idx, s.conf_idx, : m.num_atoms] = pos[k, : m.num_atoms]
-            converged_out[s.mol_idx, s.conf_idx] = bool(conv[k])
-            energies_out[s.mol_idx, s.conf_idx] = float(e[k])
+        mol_ids = np.asarray([s.mol_idx for s in systems])
+        conf_ids = np.asarray([s.conf_idx for s in systems])
+        k = len(systems)
+        out_pos[mol_ids, conf_ids, :bucket] = pos[:k]
+        converged_out[mol_ids, conf_ids] = conv[:k]
+        energies_out[mol_ids, conf_ids] = e[:k]
+        for j, s in enumerate(systems):
+            energies[s.mol_idx][s.conf_idx] = float(e[j])
+            statuses[s.mol_idx][s.conf_idx] = 0 if bool(conv[j]) else 1
 
     dense = Dense3DResult(
         positions=jnp.asarray(out_pos),

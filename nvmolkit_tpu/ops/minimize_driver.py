@@ -47,7 +47,7 @@ def minimize_compacting(
     max_iters: int = 200,
     grad_tol: float = 1e-4,
     backend: str = "lbfgs",
-    phase1_iters: int = 80,
+    phase1_iters: int = 48,
 ) -> BfgsResult:
     if backend not in BACKENDS:
         raise ValueError(f"backend must be one of {sorted(BACKENDS)}, got {backend!r}")
