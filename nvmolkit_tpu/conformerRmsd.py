@@ -69,7 +69,8 @@ def GetConformerRMSMatrixBatch(
     pos_b = jnp.asarray(np.concatenate(all_b))
     mask = jnp.asarray(np.concatenate(all_mask))
     fn = plain_rmsd if prealigned else batched_kabsch_rmsd
-    rms = fn(pos_a, pos_b, mask)
+    # one launch + one transfer; per-molecule results are host slices
+    rms = np.asarray(fn(pos_a, pos_b, mask))
 
     out, cursor = [], 0
     for c in counts:

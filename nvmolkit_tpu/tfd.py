@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from nvmolkit_tpu.chem.mol import Mol
@@ -39,29 +40,64 @@ def GetTFDMatrices(
     symmRadius: int = 2,
     ignoreColinearBonds: bool = True,
 ) -> list[AsyncResult]:
-    """Batched condensed TFD matrices, one per molecule."""
+    """Batched condensed TFD matrices, one per molecule.
+
+    All molecules are padded to common (conformer, torsion) counts and
+    processed in ONE device launch (the reference's work-item CSR
+    batching, ``tfd_common.h:82-107``); per-molecule results are host
+    slices of a single transfer.
+    """
     del symmRadius, ignoreColinearBonds  # parity args; see ops/tfd.py notes
     if maxDev not in ("equal", "spec"):
         raise ValueError("maxDev must be 'equal' or 'spec'")
-    out = []
+    if not mols:
+        return []
+
+    torsion_sets, n_confs = [], []
     for m in mols:
-        n_conf = len(m.conformers)
-        if n_conf < 2:
+        if len(m.conformers) < 2:
             raise ValueError("every molecule needs at least 2 conformers")
-        ts = enumerate_torsions(m, use_weights=useWeights, max_dev=maxDev)
-        pairs = _pairs(n_conf)
+        torsion_sets.append(enumerate_torsions(m, use_weights=useWeights, max_dev=maxDev))
+        n_confs.append(len(m.conformers))
+
+    M = len(mols)
+    max_atoms = max(m.num_atoms for m in mols)
+    c_max = max(n_confs)
+    t_max = max(1, max(ts.quartets.shape[0] for ts in torsion_sets))
+    # round padded dims to bound recompiles across call shapes
+    c_max = ((c_max + 3) // 4) * 4
+    t_max = ((t_max + 7) // 8) * 8
+
+    confs = np.zeros((M, c_max, max_atoms, 3), np.float32)
+    quartets = np.zeros((M, t_max, 4), np.int32)
+    weights = np.zeros((M, t_max), np.float32)  # 0 weight = padded torsion
+    max_dev = np.full((M, t_max), 180.0, np.float32)
+    for k, (m, ts) in enumerate(zip(mols, torsion_sets)):
+        for c, coords in enumerate(m.conformers):
+            confs[k, c, : m.num_atoms] = coords
+        nt = ts.quartets.shape[0]
+        if nt:
+            quartets[k, :nt] = ts.quartets
+            weights[k, :nt] = ts.weights
+            max_dev[k, :nt] = ts.max_dev
+
+    pair_grid = _pairs(c_max)  # [P_max, 2], shared across molecules
+    angles = jax.vmap(dihedral_angles)(jnp.asarray(confs), jnp.asarray(quartets))
+    tfd_all = jax.vmap(tfd_matrix_condensed, in_axes=(0, 0, 0, None))(
+        angles, jnp.asarray(weights), jnp.asarray(max_dev), jnp.asarray(pair_grid)
+    )  # [M, P_max]
+    tfd_np = np.asarray(tfd_all)  # one transfer
+
+    out = []
+    pair_of = {(int(i), int(j)): p for p, (i, j) in enumerate(pair_grid)}
+    for k, (m, ts) in enumerate(zip(mols, torsion_sets)):
+        pairs = _pairs(n_confs[k])
         if ts.quartets.shape[0] == 0:
-            out.append(AsyncResult(jnp.zeros(len(pairs), jnp.float32)))
+            out.append(AsyncResult(np.zeros(len(pairs), np.float32)))
             continue
-        confs = jnp.asarray(
-            np.stack([c.astype(np.float32) for c in m.conformers])
+        vals = np.asarray(
+            [tfd_np[k, pair_of[(int(i), int(j))]] for i, j in pairs],
+            np.float32,
         )
-        angles = dihedral_angles(confs, jnp.asarray(ts.quartets))
-        tfd = tfd_matrix_condensed(
-            angles,
-            jnp.asarray(ts.weights),
-            jnp.asarray(ts.max_dev),
-            jnp.asarray(pairs),
-        )
-        out.append(AsyncResult(tfd))
+        out.append(AsyncResult(vals))
     return out

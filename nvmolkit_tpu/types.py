@@ -25,17 +25,26 @@ class AsyncResult:
     dispatch), ``.numpy()`` synchronizes and copies to host.
     """
 
-    def __init__(self, array: jax.Array):
+    def __init__(self, array):
+        # accepts a jax.Array (device handle) or a numpy array (already
+        # materialized — e.g. one slice of a single batched transfer)
         self._array = array
 
     def jax(self) -> jax.Array:
+        import jax.numpy as jnp
+
+        if isinstance(self._array, np.ndarray):
+            return jnp.asarray(self._array)
         return self._array
 
     def numpy(self) -> np.ndarray:
+        if isinstance(self._array, np.ndarray):
+            return self._array
         return np.asarray(self._array.block_until_ready())
 
     def block_until_ready(self) -> "AsyncResult":
-        self._array.block_until_ready()
+        if not isinstance(self._array, np.ndarray):
+            self._array.block_until_ready()
         return self
 
     @property
