@@ -8,6 +8,6 @@ per-system energies via segment-sum, and gradients via ``jax.grad`` —
 autodiff replaces the reference's 1:1 analytic gradient ports.
 """
 
-from nvmolkit_tpu.models.terms import TermTable, BatchedTerms, concat_term_tables
+from nvmolkit_tpu.models.terms import TermTable, batch_terms_per_system, slot_onehots
 
-__all__ = ["TermTable", "BatchedTerms", "concat_term_tables"]
+__all__ = ["TermTable", "batch_terms_per_system", "slot_onehots"]

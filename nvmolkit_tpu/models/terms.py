@@ -1,19 +1,13 @@
-"""Batched force-field term tables: pad + mask instead of CSR.
+"""Force-field term tables: per-system padding + one-hot selection.
 
 The reference concatenates per-molecule "contrib" SoA tables with CSR
 ``*TermStarts`` offsets (layout documented at ``src/forcefields/mmff.h:318-341``)
 and reduces per-term energies through a scratch ``energyBuffer`` +
-atomicAdd (``src/forcefields/kernel_utils.cu:22-40``). The TPU layout:
-
-* each term kind is one flat padded array block across the whole batch,
-  carrying a ``system`` index and a validity ``mask``;
-* per-system energies are ``jax.ops.segment_sum`` of masked per-term
-  energies — no atomics, no scratch buffer;
-* atom references are (system, local_atom) pairs resolved against padded
-  dense positions ``[n_systems, max_atoms, 3]``.
-
-Padding quantum is 128 terms so recompilation only happens when a batch
-crosses a 128-term boundary per kind.
+atomicAdd (``src/forcefields/kernel_utils.cu:22-40``). The TPU layout
+instead pads each term kind per system (mask instead of CSR), selects
+atom positions with one-hot matmuls, and reduces with plain masked sums
+over the term axis — no atomics, no scratch buffer, no scatter-adds.
+Padding quantum bounds recompiles when batch term counts drift.
 """
 from __future__ import annotations
 
@@ -41,59 +35,6 @@ class TermTable:
             atoms=np.zeros((0, arity), dtype=np.int32),
             params={k: np.zeros(0, dtype=np.float32) for k in param_names},
         )
-
-
-@dataclasses.dataclass
-class BatchedTerms:
-    """A term kind concatenated over systems, padded to PAD_QUANTUM."""
-
-    atoms: np.ndarray   # [Tp, arity] int32
-    system: np.ndarray  # [Tp] int32
-    mask: np.ndarray    # [Tp] bool
-    params: dict[str, np.ndarray]  # each [Tp] float32
-
-    @property
-    def n_padded(self) -> int:
-        return self.atoms.shape[0]
-
-
-def concat_term_tables(tables: list[TermTable]) -> BatchedTerms:
-    """Concatenate one term kind across systems and pad to the quantum."""
-    if not tables:
-        raise ValueError("no term tables")
-    arity = tables[0].atoms.shape[1]
-    param_names = tuple(tables[0].params)
-    total = sum(t.n_terms for t in tables)
-    padded = max(PAD_QUANTUM, ((total + PAD_QUANTUM - 1) // PAD_QUANTUM) * PAD_QUANTUM)
-
-    atoms = np.zeros((padded, arity), dtype=np.int32)
-    system = np.zeros(padded, dtype=np.int32)
-    mask = np.zeros(padded, dtype=bool)
-    params = {k: np.zeros(padded, dtype=np.float32) for k in param_names}
-
-    cursor = 0
-    for s, t in enumerate(tables):
-        n = t.n_terms
-        if n == 0:
-            continue
-        atoms[cursor : cursor + n] = t.atoms
-        system[cursor : cursor + n] = s
-        mask[cursor : cursor + n] = True
-        for k in param_names:
-            params[k][cursor : cursor + n] = t.params[k]
-        cursor += n
-    return BatchedTerms(atoms=atoms, system=system, mask=mask, params=params)
-
-
-def gather_positions(positions, batched: BatchedTerms, slot: int):
-    """positions [S, A, 3] -> per-term atom positions [Tp, 3] for one arity slot.
-
-    Call sites pass jnp arrays; this works for numpy too.
-    """
-    S, A, _ = positions.shape
-    flat = positions.reshape(S * A, 3)
-    idx = batched.system * A + batched.atoms[:, slot]
-    return flat[idx]
 
 
 # ---------------------------------------------------------------------------
