@@ -587,6 +587,7 @@ void nvmk_get_atoms(void* h, int32_t mol, int32_t* atomic_num, int32_t* charge,
 // K bonds-per-atom or failed to parse.
 int32_t nvmk_fill_morgan_batch(void* h, const int32_t* mol_indices, int32_t b,
                                int32_t max_atoms, int32_t max_bonds_per_atom,
+                               int32_t use_chirality,
                                uint32_t* inv0, int32_t* adj_atoms,
                                uint32_t* adj_code, uint8_t* adj_mask,
                                uint32_t* own_bits, uint8_t* atom_mask,
@@ -630,6 +631,7 @@ int32_t nvmk_fill_morgan_batch(void* h, const int32_t* mol_indices, int32_t b,
       inv = hash_combine(inv, (uint32_t)a.charge);
       inv = hash_combine(inv, (uint32_t)delta_mass);
       inv = hash_combine(inv, (uint32_t)(a.in_ring ? 1 : 0));
+      if (use_chirality) inv = hash_combine(inv, (uint32_t)a.chiral);
       inv_row[i] = inv;
       amask[i] = 1;
       int32_t d = (int32_t)m.adj[i].size();

@@ -236,6 +236,7 @@ class Mol:
         is_aromatic = np.array([a.is_aromatic for a in self.atoms], dtype=np.int32)
         mass = np.array([a.mass for a in self.atoms], dtype=np.int32)
         isotope = np.array([a.isotope for a in self.atoms], dtype=np.int32)
+        chiral_tag = np.array([int(a.chiral_tag) for a in self.atoms], dtype=np.int32)
 
         bond_atoms = np.zeros((self.num_bonds, 2), dtype=np.int32)
         bond_type = np.zeros(self.num_bonds, dtype=np.int32)
@@ -264,6 +265,7 @@ class Mol:
             "is_aromatic": is_aromatic,
             "mass": mass,
             "isotope": isotope,
+            "chiral_tag": chiral_tag,
             "bond_atoms": bond_atoms,
             "bond_type": bond_type,
             "bond_in_ring": bond_in_ring,

@@ -56,7 +56,7 @@ def _load():
         lib.nvmk_fill_morgan_batch.restype = ctypes.c_int32
         lib.nvmk_fill_morgan_batch.argtypes = [
             ctypes.c_void_p, ptr, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
-            u32p, ptr, u32p, u8p, u32p, u8p, ptr,
+            ctypes.c_int32, u32p, ptr, u32p, u8p, u32p, u8p, ptr,
         ]
         _lib = lib
     except Exception as e:  # missing toolchain, load failure, ...
@@ -151,6 +151,7 @@ def morgan_batches_from_smiles(
     atom_buckets: tuple[int, ...],
     max_bonds_per_atom: int = 8,
     n_threads: int = 0,
+    use_chirality: bool = False,
 ) -> dict[int, tuple[np.ndarray, dict[str, np.ndarray]]]:
     """Zero-Mol fast path: SMILES -> padded Morgan kernel batches.
 
@@ -201,7 +202,7 @@ def morgan_batches_from_smiles(
             pu = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32))
             p8 = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
             rc = lib.nvmk_fill_morgan_batch(
-                handle, pi(idx_arr), B, A, K,
+                handle, pi(idx_arr), B, A, K, int(use_chirality),
                 pu(inv0), pi(adj_atoms), pu(adj_code), p8(adj_mask),
                 pu(own_bits), p8(atom_mask), pi(degree),
             )

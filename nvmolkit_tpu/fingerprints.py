@@ -40,17 +40,18 @@ class MorganFingerprintGenerator:
     ``radius`` and ``fpSize`` (one of 128..4096, a multiple of 32).
     """
 
-    def __init__(self, radius: int, fpSize: int):
+    def __init__(self, radius: int, fpSize: int, useChirality: bool = False):
         if fpSize not in _SUPPORTED_FP_SIZES:
             raise ValueError(f"fpSize must be one of {_SUPPORTED_FP_SIZES}, got {fpSize}")
         if radius < 0:
             raise ValueError(f"radius must be >= 0, got {radius}")
         self.radius = radius
         self.fpSize = fpSize
+        self.useChirality = useChirality
 
     def GetFingerprint(self, mol: Mol) -> np.ndarray:
         """Single-molecule CPU fingerprint (reference backend)."""
-        return morgan_fingerprint_cpu(mol, self.radius, self.fpSize)
+        return morgan_fingerprint_cpu(mol, self.radius, self.fpSize, self.useChirality)
 
     def GetFingerprintsCpu(self, mols: list[Mol]) -> np.ndarray:
         return np.stack([self.GetFingerprint(m) for m in mols])
@@ -80,7 +81,8 @@ class MorganFingerprintGenerator:
         out = jnp.zeros((len(mols), self.fpSize // 32), dtype=jnp.uint32)
         for bucket, indices in sorted(order.items()):
             fps = morgan_fingerprints_jax(
-                [mols[i] for i in indices], self.radius, self.fpSize, bucket
+                [mols[i] for i in indices], self.radius, self.fpSize, bucket,
+                use_chirality=self.useChirality,
             )
             out = out.at[np.asarray(indices, dtype=np.int32)].set(fps)
         return AsyncResult(out)
@@ -107,7 +109,8 @@ class MorganFingerprintGenerator:
         from nvmolkit_tpu.ops.morgan import morgan_kernel
 
         batches = morgan_batches_from_smiles(
-            smiles, opts.atomBuckets, n_threads=num_threads
+            smiles, opts.atomBuckets, n_threads=num_threads,
+            use_chirality=self.useChirality,
         )
         out = jnp.zeros((len(smiles), self.fpSize // 32), dtype=jnp.uint32)
         for bucket, (indices, b) in sorted(batches.items()):

@@ -34,7 +34,9 @@ from nvmolkit_tpu.utils.hashing import hash_combine_u32
 _U32 = jnp.uint32
 
 
-def prepare_batch(mols: list[Mol], max_atoms: int) -> dict[str, np.ndarray]:
+def prepare_batch(
+    mols: list[Mol], max_atoms: int, use_chirality: bool = False
+) -> dict[str, np.ndarray]:
     """Host-side featurization of a bucket of molecules into padded arrays.
 
     Plays the role of the reference's ``MorganInvariantsGenerator``
@@ -62,7 +64,7 @@ def prepare_batch(mols: list[Mol], max_atoms: int) -> dict[str, np.ndarray]:
             raise ValueError(f"molecule with {na} atoms exceeds bucket {A}")
         if mol.num_bonds > max_bonds:
             raise ValueError(f"molecule with {mol.num_bonds} bonds exceeds capacity {max_bonds}")
-        inv0[b, :na] = atom_invariants(arrays)
+        inv0[b, :na] = atom_invariants(arrays, use_chirality)
         atom_mask[b, :na] = True
         degree[b, :na] = arrays["degree"]
         ab = arrays["adj_bonds"]
@@ -195,9 +197,12 @@ def morgan_kernel(
     return fp
 
 
-def morgan_fingerprints_jax(mols: list[Mol], radius: int, fp_size: int, max_atoms: int) -> jax.Array:
+def morgan_fingerprints_jax(
+    mols: list[Mol], radius: int, fp_size: int, max_atoms: int,
+    use_chirality: bool = False,
+) -> jax.Array:
     """Fingerprints for a homogeneous bucket of molecules (<= max_atoms)."""
-    batch = prepare_batch(mols, max_atoms)
+    batch = prepare_batch(mols, max_atoms, use_chirality)
     return morgan_kernel(
         jnp.asarray(batch["inv0"]),
         jnp.asarray(batch["adj_atoms"]),

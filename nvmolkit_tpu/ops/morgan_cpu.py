@@ -29,9 +29,11 @@ from nvmolkit_tpu.utils.hashing import hash_combine_u32
 _U32 = np.uint32
 
 
-def atom_invariants(arrays: dict[str, np.ndarray]) -> np.ndarray:
+def atom_invariants(
+    arrays: dict[str, np.ndarray], use_chirality: bool = False
+) -> np.ndarray:
     """Connectivity invariants: hash of (atomicNum, degree, totalHs, charge,
-    deltaMass, inRing) per atom, as uint32."""
+    deltaMass, inRing[, chiralTag]) per atom, as uint32."""
     n = arrays["atomic_num"].shape[0]
     inv = np.zeros(n, dtype=_U32)
     delta_mass = arrays["mass"] - arrays["atomic_num"] * 2  # stable small int
@@ -43,6 +45,8 @@ def atom_invariants(arrays: dict[str, np.ndarray]) -> np.ndarray:
         delta_mass,
         arrays["in_ring"],
     ]
+    if use_chirality:
+        components.append(arrays["chiral_tag"])
     for comp in components:
         inv = hash_combine_u32(inv, comp.astype(np.int64).astype(_U32))
     return inv
@@ -53,11 +57,13 @@ def _bond_code(bond_type: int) -> int:
     return int(bond_type)
 
 
-def morgan_fingerprint_cpu(mol: Mol, radius: int, fp_size: int) -> np.ndarray:
+def morgan_fingerprint_cpu(
+    mol: Mol, radius: int, fp_size: int, use_chirality: bool = False
+) -> np.ndarray:
     """Return the packed uint32 fingerprint (fp_size//32 words) of one mol."""
     arrays = mol.to_arrays()
     n = mol.num_atoms
-    inv = atom_invariants(arrays)
+    inv = atom_invariants(arrays, use_chirality)
     bits = np.zeros(fp_size, dtype=np.uint8)
 
     # round 0
@@ -121,6 +127,10 @@ def morgan_fingerprint_cpu(mol: Mol, radius: int, fp_size: int) -> np.ndarray:
     return pack_bits_np(bits)
 
 
-def morgan_fingerprints_cpu(mols: list[Mol], radius: int, fp_size: int) -> np.ndarray:
+def morgan_fingerprints_cpu(
+    mols: list[Mol], radius: int, fp_size: int, use_chirality: bool = False
+) -> np.ndarray:
     """Stacked packed fingerprints, shape (n_mols, fp_size//32) uint32."""
-    return np.stack([morgan_fingerprint_cpu(m, radius, fp_size) for m in mols])
+    return np.stack(
+        [morgan_fingerprint_cpu(m, radius, fp_size, use_chirality) for m in mols]
+    )

@@ -82,3 +82,21 @@ def test_invalid_args():
         MorganFingerprintGenerator(radius=2, fpSize=100)
     with pytest.raises(ValueError):
         MorganFingerprintGenerator(radius=-1, fpSize=1024)
+
+
+def test_use_chirality_distinguishes_enantiomers():
+    r = mol_from_smiles("C[C@H](N)C(=O)O")
+    s = mol_from_smiles("C[C@@H](N)C(=O)O")
+    plain = MorganFingerprintGenerator(radius=2, fpSize=1024)
+    chiral = MorganFingerprintGenerator(radius=2, fpSize=1024, useChirality=True)
+    # without chirality: identical fingerprints
+    np.testing.assert_array_equal(plain.GetFingerprint(r), plain.GetFingerprint(s))
+    # with chirality: different
+    assert not np.array_equal(chiral.GetFingerprint(r), chiral.GetFingerprint(s))
+    # accelerated paths agree with CPU for the chiral generator
+    acc = chiral.GetFingerprints([r, s]).numpy()
+    np.testing.assert_array_equal(acc, chiral.GetFingerprintsCpu([r, s]))
+    fast = chiral.GetFingerprintsFromSmiles(
+        ["C[C@H](N)C(=O)O", "C[C@@H](N)C(=O)O"]
+    ).numpy()
+    np.testing.assert_array_equal(fast, acc)
