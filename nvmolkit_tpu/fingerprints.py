@@ -22,6 +22,11 @@ from nvmolkit_tpu.utils.config import HardwareOptions
 
 _SUPPORTED_FP_SIZES = (128, 256, 512, 1024, 2048, 4096)
 
+# Molecules per kernel dispatch: bounds the Morgan kernel's transient
+# dedup tensors ([B, A, A, W] comparisons) on large batches while
+# keeping each dispatch big enough to saturate the chip.
+_MORGAN_CHUNK = 8192
+
 
 def unpack_fingerprint(fp) -> np.ndarray:
     """Packed uint32 words -> 0/1 uint8 bits (last axis expanded x32)."""
@@ -80,11 +85,13 @@ class MorganFingerprintGenerator:
 
         out = jnp.zeros((len(mols), self.fpSize // 32), dtype=jnp.uint32)
         for bucket, indices in sorted(order.items()):
-            fps = morgan_fingerprints_jax(
-                [mols[i] for i in indices], self.radius, self.fpSize, bucket,
-                use_chirality=self.useChirality,
-            )
-            out = out.at[np.asarray(indices, dtype=np.int32)].set(fps)
+            for start in range(0, len(indices), _MORGAN_CHUNK):
+                chunk = indices[start : start + _MORGAN_CHUNK]
+                fps = morgan_fingerprints_jax(
+                    [mols[i] for i in chunk], self.radius, self.fpSize, bucket,
+                    use_chirality=self.useChirality,
+                )
+                out = out.at[np.asarray(chunk, dtype=np.int32)].set(fps)
         return AsyncResult(out)
 
     def GetFingerprintsFromSmiles(
@@ -114,16 +121,18 @@ class MorganFingerprintGenerator:
         )
         out = jnp.zeros((len(smiles), self.fpSize // 32), dtype=jnp.uint32)
         for bucket, (indices, b) in sorted(batches.items()):
-            fps = morgan_kernel(
-                jnp.asarray(b["inv0"]),
-                jnp.asarray(b["adj_atoms"]),
-                jnp.asarray(b["adj_code"]),
-                jnp.asarray(b["adj_mask"]),
-                jnp.asarray(b["own_bits"]),
-                jnp.asarray(b["atom_mask"]),
-                jnp.asarray(b["degree"]),
-                radius=self.radius,
-                fp_size=self.fpSize,
-            )
-            out = out.at[indices].set(fps)
+            for start in range(0, len(indices), _MORGAN_CHUNK):
+                sl = slice(start, start + _MORGAN_CHUNK)
+                fps = morgan_kernel(
+                    jnp.asarray(b["inv0"][sl]),
+                    jnp.asarray(b["adj_atoms"][sl]),
+                    jnp.asarray(b["adj_code"][sl]),
+                    jnp.asarray(b["adj_mask"][sl]),
+                    jnp.asarray(b["own_bits"][sl]),
+                    jnp.asarray(b["atom_mask"][sl]),
+                    jnp.asarray(b["degree"][sl]),
+                    radius=self.radius,
+                    fp_size=self.fpSize,
+                )
+                out = out.at[indices[sl]].set(fps)
         return AsyncResult(out)

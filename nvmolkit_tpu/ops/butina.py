@@ -50,28 +50,31 @@ def butina_matrix(hits: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndar
     eye = jnp.eye(n, dtype=bool)
     hits = hits | eye
 
+    # counts are carried in the loop state and updated incrementally:
+    # removing the new cluster's members decrements each row by its
+    # overlap with the member set (one masked row-sum per iteration
+    # instead of recomputing the full N^2 sum in cond AND body)
     def cond(state):
-        free, _, _, _, best = state
-        del _, best
-        # continue while some free item has a free neighbor besides itself
-        counts = jnp.where(free, (hits & free[None, :]).sum(axis=1), 0)
+        counts = state[4]
         return jnp.max(counts) > 1
 
     def body(state):
-        free, cluster_raw, centroids, k, _ = state
-        counts = jnp.where(free, (hits & free[None, :]).sum(axis=1), 0)
+        free, cluster_raw, centroids, k, counts = state
         center = _argmax_last(counts)
         members = hits[center] & free
         cluster_raw = jnp.where(members, k, cluster_raw)
         centroids = centroids.at[k].set(center)
         free = free & ~members
-        return free, cluster_raw, centroids, k + 1, counts.max()
+        delta = (hits & members[None, :]).sum(axis=1)
+        counts = jnp.where(free, counts - delta, 0)
+        return free, cluster_raw, centroids, k + 1, counts
 
     free0 = jnp.ones(n, dtype=bool)
     cluster0 = jnp.full(n, -1, dtype=jnp.int32)
     centroids0 = jnp.full(n, -1, dtype=jnp.int32)
+    counts0 = hits.sum(axis=1).astype(jnp.int32)
     free, cluster_raw, centroids, k, _ = jax.lax.while_loop(
-        cond, body, (free0, cluster0, centroids0, jnp.int32(0), jnp.int32(n))
+        cond, body, (free0, cluster0, centroids0, jnp.int32(0), counts0)
     )
 
     # singletons: remaining free items, assigned in index order
@@ -188,26 +191,26 @@ def fused_butina_kernel(
         centroids = centroids.at[k].set(center)
         free = free & ~members
 
-        # decrement counts by member contributions, member_chunk at a time
-        idx_cap = ((n + chunk - 1) // chunk) * chunk
-        member_idx = jnp.nonzero(members, size=idx_cap, fill_value=n)[0]  # padded with n
+        # decrement counts by member contributions, member_chunk at a time.
+        # Member indices come from a key-value sort (members first), NOT
+        # jnp.nonzero — nonzero lowers to a scatter that serializes on TPU
+        # and dominated the loop (~0.5 s/cluster at N=100k).
+        iota = jnp.arange(n, dtype=jnp.int32)
+        _, member_idx = jax.lax.sort_key_val((~members).astype(jnp.int32), iota)
+        if n % chunk:  # allow dynamic_slice chunks on small inputs
+            member_idx = jnp.pad(member_idx, (0, chunk - n % chunk))
         n_members = members.sum()
 
-        def dec_chunk(c, start):
+        def dec_loop(i, c):
+            start = i * chunk
             idx = jax.lax.dynamic_slice_in_dim(member_idx, start, chunk, 0)
-            valid = idx < n
-            idx_c = jnp.clip(idx, 0, n - 1)
-            rb = bits[idx_c]
-            rp = pop[idx_c]
+            valid = (start + jnp.arange(chunk, dtype=jnp.int32)) < n_members
+            rb = bits[idx]
+            rp = pop[idx]
             delta = hit_block(rb, rp, valid).sum(axis=1, dtype=jnp.int32)
-            return c - delta, None
+            return c - delta
 
         n_chunks = (n_members + chunk - 1) // chunk
-
-        def dec_loop(i, c):
-            c, _ = dec_chunk(c, i * chunk)
-            return c
-
         counts = jax.lax.fori_loop(0, n_chunks, dec_loop, counts)
         return free, counts, cluster_raw, centroids, k + 1
 
