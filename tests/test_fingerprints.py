@@ -100,3 +100,16 @@ def test_use_chirality_distinguishes_enantiomers():
         ["C[C@H](N)C(=O)O", "C[C@@H](N)C(=O)O"]
     ).numpy()
     np.testing.assert_array_equal(fast, acc)
+
+
+def test_morgan_chunked_dispatch(monkeypatch, mols100, smiles100):
+    """Chunked kernel dispatch (large batches) is bit-identical."""
+    import nvmolkit_tpu.fingerprints as F
+
+    gen = F.MorganFingerprintGenerator(radius=2, fpSize=512)
+    want = gen.GetFingerprints(mols100).numpy()
+    monkeypatch.setattr(F, "_MORGAN_CHUNK", 7)  # force many tiny chunks
+    got = gen.GetFingerprints(mols100).numpy()
+    np.testing.assert_array_equal(got, want)
+    got_fast = gen.GetFingerprintsFromSmiles(smiles100).numpy()
+    np.testing.assert_array_equal(got_fast, want)
