@@ -4,14 +4,12 @@ Counterpart of the reference's ``benchmarks/butina_clustering_bench.py``
 (modes rdkit/rdkit_lowmem/fused/nvmolkit -> here matrix/fused).
 """
 import sys
-import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).parent))
 from _common import Timer, emit, make_smiles  # noqa: E402
 
 import numpy as np  # noqa: E402
-import jax.numpy as jnp  # noqa: E402
 
 
 def main(n_mols: int = 10000, cutoff: float = 0.6, mode: str = "both"):

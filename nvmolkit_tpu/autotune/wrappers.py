@@ -10,7 +10,6 @@ import time
 
 import numpy as np
 
-import jax
 import jax.numpy as jnp
 
 from nvmolkit_tpu.autotune._core import SearchSpace, TuneResult, run_study

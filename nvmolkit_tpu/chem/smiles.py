@@ -16,7 +16,6 @@ import re
 from nvmolkit_tpu.chem.mol import (
     SYMBOL_TO_NUM,
     Atom,
-    Bond,
     BondDir,
     BondType,
     ChiralTag,

@@ -29,7 +29,6 @@ from nvmolkit_tpu.chem.bounds import topological_bounds
 from nvmolkit_tpu.chem.mol import Mol
 from nvmolkit_tpu.models.dist_geom import (
     build_chiral_sets,
-    dg_energy_and_grad,
     random_distance_matrices,
 )
 from nvmolkit_tpu.ops.bfgs import batched_bfgs_minimize

@@ -25,7 +25,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from nvmolkit_tpu.chem.mol import BondType, Mol
+from nvmolkit_tpu.chem.mol import Mol
 from nvmolkit_tpu.models.dist_geom import dg_energy
 
 

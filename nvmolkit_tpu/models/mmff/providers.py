@@ -18,11 +18,10 @@ import math
 
 import numpy as np
 
-from nvmolkit_tpu.chem.mol import BondType, Mol
+from nvmolkit_tpu.chem.mol import Mol
 from nvmolkit_tpu.models.mmff.terms import (
     MMFFProperties,
     MMFFTerms,
-    empty_mmff_terms,
     mmff_terms_from_arrays,
 )
 from nvmolkit_tpu.models.uff.builder import build_uff_terms, _hybridization

@@ -15,7 +15,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from nvmolkit_tpu.chem.mol import Mol
-from nvmolkit_tpu.ops.bfgs import batched_bfgs_minimize
 from nvmolkit_tpu.types import Dense3DResult
 from nvmolkit_tpu.utils.config import HardwareOptions
 

@@ -25,7 +25,7 @@ import numpy as np
 
 from nvmolkit_tpu.chem.mol import BondType, Mol
 from nvmolkit_tpu.models.terms import TermTable
-from nvmolkit_tpu.models.uff.params import UFF_PARAMS, UFFAtomParams, uff_atom_type
+from nvmolkit_tpu.models.uff.params import UFFAtomParams, uff_atom_type
 
 _LAMBDA = 0.1332      # Pauling bond-order correction
 _G = 664.12           # kcal mol^-1 A^3 force-constant prefactor

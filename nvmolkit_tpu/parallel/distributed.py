@@ -15,7 +15,6 @@ from __future__ import annotations
 import numpy as np
 
 import jax
-import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from nvmolkit_tpu.parallel.mesh import MOL_AXIS, data_parallel_mesh, shard_batch_pytree

@@ -10,7 +10,6 @@ from __future__ import annotations
 from nvmolkit_tpu.chem.mol import Mol
 from nvmolkit_tpu.models.optimize import optimize_molecules_confs
 from nvmolkit_tpu.models.uff.energy import make_batched_uff, uff_energy_and_grad
-from nvmolkit_tpu.types import Dense3DResult
 from nvmolkit_tpu.utils.config import HardwareOptions
 
 
