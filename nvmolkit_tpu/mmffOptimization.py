@@ -20,7 +20,7 @@ def MMFFOptimizeMoleculesConfs(
     ignoreInterfragInteractions: bool = True,
     hardwareOptions: HardwareOptions | None = None,
     provider=None,
-    backend: str = "lbfgs",
+    backend: str = "flat",
 ):
     """Minimize all conformers of all molecules under MMFF94.
 

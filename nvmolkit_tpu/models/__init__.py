@@ -8,6 +8,18 @@ per-system energies via segment-sum, and gradients via ``jax.grad`` —
 autodiff replaces the reference's 1:1 analytic gradient ports.
 """
 
-from nvmolkit_tpu.models.terms import TermTable, batch_terms_per_system, slot_onehots
+from nvmolkit_tpu.models.terms import (
+    TermTable,
+    batch_terms_per_system,
+    expand_batch_to_systems,
+    slot_onehots,
+    slot_onehots_device,
+)
 
-__all__ = ["TermTable", "batch_terms_per_system", "slot_onehots"]
+__all__ = [
+    "TermTable",
+    "batch_terms_per_system",
+    "expand_batch_to_systems",
+    "slot_onehots",
+    "slot_onehots_device",
+]

@@ -28,7 +28,11 @@ import numpy as np
 
 from nvmolkit_tpu.chem.mol import Mol
 from nvmolkit_tpu.models.mmff.terms import MMFFProperties, MMFFTerms
-from nvmolkit_tpu.models.terms import batch_terms_per_system, slot_onehots
+from nvmolkit_tpu.models.terms import (
+    batch_terms_per_system,
+    select_slots,
+    slot_onehots_device,
+)
 
 _EPS = 1e-10
 _DEG = 180.0 / np.pi
@@ -41,23 +45,29 @@ _BONDED_KINDS = ("bonds", "angles", "stretch_bends", "oop", "torsions")
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class MMFFBatch:
+    """Nonbonded pair tables are stored FLATTENED to [S, A*A]: with small
+    buckets (A=32) a trailing axis of A wastes 3/4 of every (8, 128) TPU
+    tile, while A*A tiles exactly. Pair (i, j) lives at flat index
+    i*A + j. Masking is folded into the parameters (eps/qq zero where
+    inactive) so the hot path carries no separate mask tensor."""
+
     n_systems: int
     max_atoms: int
     diel_constant: float
     diel_model: int
     offsets: tuple                 # ((kind, start, count), ...) static
     atom_mask: jnp.ndarray         # [S, A]
+    sel_idx: jnp.ndarray           # [S, T_all, 4] int32 fused term atoms
     onehot: jnp.ndarray            # [4, S, T_all, A]
     tables: dict[str, dict[str, jnp.ndarray]]
-    nb_rstar: jnp.ndarray          # [S, A, A] pair R* (0 where inactive)
-    nb_eps: jnp.ndarray            # [S, A, A] pair eps
-    nb_vdw_mask: jnp.ndarray       # [S, A, A] bool
-    nb_qq_scale: jnp.ndarray       # [S, A, A] qq * (0.75 if 1-4) else 0
+    nb_rstar: jnp.ndarray          # [S, A*A] pair R* (0 where inactive)
+    nb_eps: jnp.ndarray            # [S, A*A] pair eps (0 where inactive)
+    nb_qq_scale: jnp.ndarray       # [S, A*A] qq * (0.75 if 1-4) else 0
 
     def tree_flatten(self):
         children = (
-            self.atom_mask, self.onehot, self.tables,
-            self.nb_rstar, self.nb_eps, self.nb_vdw_mask, self.nb_qq_scale,
+            self.atom_mask, self.sel_idx, self.onehot, self.tables,
+            self.nb_rstar, self.nb_eps, self.nb_qq_scale,
         )
         aux = (
             self.n_systems, self.max_atoms, self.diel_constant,
@@ -109,30 +119,30 @@ def batch_mmff_terms(
             **{k: jnp.asarray(v) for k, v in per_sys.items()},
         }
     if fused_idx:
-        onehot = slot_onehots(np.concatenate(fused_idx, axis=1), A)
+        sel_idx = np.concatenate(fused_idx, axis=1)
     else:
-        onehot = np.zeros((4, S, 1, A), np.float32)
+        sel_idx = np.zeros((S, 1, 4), np.int32)
+    sel_idx = jnp.asarray(sel_idx)
+    onehot = slot_onehots_device(sel_idx, A)
 
-    # densify nonbonded pair tables
-    nb_rstar = np.zeros((S, A, A), np.float32)
-    nb_eps = np.zeros((S, A, A), np.float32)
-    nb_vdw_mask = np.zeros((S, A, A), bool)
-    nb_qq_scale = np.zeros((S, A, A), np.float32)
+    # flattened nonbonded pair tables (see MMFFBatch docstring)
+    nb_rstar = np.zeros((S, A * A), np.float32)
+    nb_eps = np.zeros((S, A * A), np.float32)
+    nb_qq_scale = np.zeros((S, A * A), np.float32)
     if props.vdWTerm:
         for s, t in enumerate(terms):
             v = t.vdw
             if v.n_terms:
-                i, j = v.atoms[:, 0], v.atoms[:, 1]
-                nb_rstar[s, i, j] = v.params["rstar"]
-                nb_eps[s, i, j] = v.params["eps"]
-                nb_vdw_mask[s, i, j] = True
+                flat = v.atoms[:, 0] * A + v.atoms[:, 1]
+                nb_rstar[s, flat] = v.params["rstar"]
+                nb_eps[s, flat] = v.params["eps"]
     if props.eleTerm:
         for s, t in enumerate(terms):
             e = t.ele
             if e.n_terms:
-                i, j = e.atoms[:, 0], e.atoms[:, 1]
+                flat = e.atoms[:, 0] * A + e.atoms[:, 1]
                 scale = np.where(e.params["is_1_4"] > 0.5, 0.75, 1.0)
-                nb_qq_scale[s, i, j] = e.params["qq"] * scale
+                nb_qq_scale[s, flat] = e.params["qq"] * scale
 
     return MMFFBatch(
         n_systems=S,
@@ -141,11 +151,11 @@ def batch_mmff_terms(
         diel_model=props.dielModel,
         offsets=tuple(offsets),
         atom_mask=jnp.asarray(atom_mask),
-        onehot=jnp.asarray(onehot),
+        sel_idx=sel_idx,
+        onehot=onehot,
         tables=tables,
         nb_rstar=jnp.asarray(nb_rstar),
         nb_eps=jnp.asarray(nb_eps),
-        nb_vdw_mask=jnp.asarray(nb_vdw_mask),
         nb_qq_scale=jnp.asarray(nb_qq_scale),
     )
 
@@ -156,25 +166,56 @@ def make_batched_mmff(
     properties: MMFFProperties | None = None,
     provider=None,
 ) -> MMFFBatch:
+    """Build and batch MMFF terms for a bucket of molecules.
+
+    Per-molecule parametrization is cached on the Mol object (the
+    reference caches contribs per ROMol*, ``bfgs_mmff.cpp:199``), keyed
+    by provider + the MMFFProperties knobs that affect term building.
+    Editing a Mol's graph after the first use requires a fresh Mol (or
+    deleting ``_mmff_terms_cache``).
+    """
     from nvmolkit_tpu.models.mmff.providers import default_provider
 
     provider = provider or default_provider()
     props = properties or MMFFProperties()
-    terms = [provider.build_terms(m, props) for m in mols]
+    key = (
+        getattr(provider, "cache_key", type(provider).__name__),
+        props.mmffVariant,
+        props.nonBondedThreshold,
+        props.ignoreInterfragInteractions,
+    )
+    terms = []
+    for m in mols:
+        cache = getattr(m, "_mmff_terms_cache", None)
+        if cache is None or cache[0] != key:
+            cache = (key, provider.build_terms(m, props))
+            m._mmff_terms_cache = cache
+        terms.append(cache[1])
     return batch_mmff_terms(terms, [m.num_atoms for m in mols], max_atoms, props)
 
 
-_EX = np.asarray([1.0, 0.0, 0.0], np.float32)
-_EY = np.asarray([0.0, 1.0, 0.0], np.float32)
-_EZ = np.asarray([0.0, 0.0, 1.0], np.float32)
+# Term math runs in [S, 3, T] layout: xyz on the sublane axis, terms on
+# the lane axis (see models/terms.select_slots). Unit fallbacks keep
+# masked rows finite through norms/arccos.
+_EX = np.asarray([1.0, 0.0, 0.0], np.float32).reshape(1, 3, 1)
+_EY = np.asarray([0.0, 1.0, 0.0], np.float32).reshape(1, 3, 1)
+_EZ = np.asarray([0.0, 0.0, 1.0], np.float32).reshape(1, 3, 1)
 
 
 def _safe(d, mask, unit):
-    return jnp.where(mask[..., None], d, unit.astype(d.dtype))
+    return jnp.where(mask[:, None, :], d, unit.astype(d.dtype))
 
 
 def _norm(d):
-    return jnp.sqrt(jnp.sum(d * d, axis=-1) + _EPS)
+    return jnp.sqrt(jnp.sum(d * d, axis=1) + _EPS)
+
+
+def _dot(u, v):
+    return jnp.sum(u * v, axis=1)
+
+
+def _cross(u, v):
+    return jnp.cross(u, v, axisa=1, axisb=1, axisc=1)
 
 
 def _bond(p, t):
@@ -190,7 +231,7 @@ def _bond(p, t):
 def _angle(p, t):
     u = _safe(p[0] - p[1], t["mask"], _EX)
     v = _safe(p[2] - p[1], t["mask"], _EY)
-    cos = jnp.clip(jnp.sum(u * v, -1) / (_norm(u) * _norm(v)), -1.0, 1.0)
+    cos = jnp.clip(_dot(u, v) / (_norm(u) * _norm(v)), -1.0, 1.0)
     theta = jnp.arccos(cos) * _DEG
     dt = theta - t["theta0"]
     bent = 0.5 * 0.043844 * t["ka"] * dt * dt * (1.0 + _CB * dt)
@@ -204,7 +245,7 @@ def _stretch_bend(p, t):
     v = _safe(p[2] - p[1], t["mask"], _EY)
     rij = _norm(u)
     rkj = _norm(v)
-    cos = jnp.clip(jnp.sum(u * v, -1) / (rij * rkj), -1.0, 1.0)
+    cos = jnp.clip(_dot(u, v) / (rij * rkj), -1.0, 1.0)
     dt = jnp.arccos(cos) * _DEG - t["theta0"]
     e = 2.51210 * (
         t["kba_ijk"] * (rij - t["r0_ij"]) + t["kba_kji"] * (rkj - t["r0_kj"])
@@ -216,8 +257,8 @@ def _oop(p, t):
     rji = _safe(p[0] - p[1], t["mask"], _EX)
     rjk = _safe(p[2] - p[1], t["mask"], _EY)
     rjl = _safe(p[3] - p[1], t["mask"], _EZ)
-    n = jnp.cross(rji, rjk)
-    sin_chi = jnp.clip(jnp.sum(n * rjl, -1) / (_norm(n) * _norm(rjl)), -1.0, 1.0)
+    n = _cross(rji, rjk)
+    sin_chi = jnp.clip(_dot(n, rjl) / (_norm(n) * _norm(rjl)), -1.0, 1.0)
     chi = jnp.arcsin(sin_chi) * _DEG
     e = 0.5 * 0.043844 * t["koop"] * chi * chi
     return jnp.where(t["mask"], e, 0.0)
@@ -227,9 +268,9 @@ def _torsion(p, t):
     b1 = _safe(p[1] - p[0], t["mask"], _EX)
     b2 = _safe(p[2] - p[1], t["mask"], _EY)
     b3 = _safe(p[3] - p[2], t["mask"], _EZ)
-    n1 = jnp.cross(b1, b2)
-    n2 = jnp.cross(b2, b3)
-    c = jnp.clip(jnp.sum(n1 * n2, -1) / (_norm(n1) * _norm(n2)), -1.0, 1.0)
+    n1 = _cross(b1, b2)
+    n2 = _cross(b2, b3)
+    c = jnp.clip(_dot(n1, n2) / (_norm(n1) * _norm(n2)), -1.0, 1.0)
     cos2 = 2.0 * c * c - 1.0
     cos3 = c * (2.0 * cos2 - 1.0)
     e = 0.5 * (
@@ -248,11 +289,13 @@ _BONDED = {
 
 
 def _nonbonded_dense(positions, batch: MMFFBatch) -> jnp.ndarray:
+    S, A = positions.shape[0], positions.shape[1]
     sq = jnp.sum(positions * positions, axis=-1)
     gram = jnp.einsum(
         "sad,sbd->sab", positions, positions, preferred_element_type=jnp.float32
     )
-    r2 = jnp.maximum(sq[:, :, None] + sq[:, None, :] - 2.0 * gram, 1e-2)
+    r2 = (sq[:, :, None] + sq[:, None, :] - 2.0 * gram).reshape(S, A * A)
+    r2 = jnp.maximum(r2, 1e-2)
     r = jnp.sqrt(r2)
 
     rstar = jnp.maximum(batch.nb_rstar, 1e-3)
@@ -260,26 +303,19 @@ def _nonbonded_dense(positions, batch: MMFFBatch) -> jnp.ndarray:
     r7 = r2**3 * r
     rs7 = rstar**7
     e_vdw = batch.nb_eps * ratio**7 * (1.12 * rs7 / (r7 + 0.12 * rs7) - 2.0)
-    e_vdw = jnp.sum(jnp.where(batch.nb_vdw_mask, e_vdw, 0.0), axis=(1, 2))
 
     rb = r + 0.05
     denom = batch.diel_constant * (rb if batch.diel_model == 1 else rb * rb)
-    e_ele = jnp.sum(332.0716 * batch.nb_qq_scale / denom, axis=(1, 2))
-    return e_vdw + e_ele
+    e_ele = 332.0716 * batch.nb_qq_scale / denom
+    return jnp.sum(e_vdw + e_ele, axis=1)
 
 
 def mmff_energy(positions: jnp.ndarray, batch: MMFFBatch) -> jnp.ndarray:
     """Per-system MMFF energies [S] (kcal/mol)."""
     total = _nonbonded_dense(positions, batch)
-    slots = [
-        jnp.einsum(
-            "sta,sad->std", batch.onehot[s], positions,
-            preferred_element_type=jnp.float32,
-        )
-        for s in range(4)
-    ]
+    slots = select_slots(positions, batch.sel_idx, batch.onehot)  # [4, S, 3, T]
     for kind, start, count in batch.offsets:
-        p = tuple(sl[:, start : start + count] for sl in slots)
+        p = tuple(slots[q, :, :, start : start + count] for q in range(4))
         e = _BONDED[kind](p, batch.tables[kind])
         total = total + jnp.sum(e, axis=1)
     return total

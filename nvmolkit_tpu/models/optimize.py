@@ -11,10 +11,12 @@ from __future__ import annotations
 import dataclasses
 from typing import Callable
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from nvmolkit_tpu.chem.mol import Mol
+from nvmolkit_tpu.models.terms import expand_batch_to_systems
 from nvmolkit_tpu.types import Dense3DResult
 from nvmolkit_tpu.utils.config import HardwareOptions
 
@@ -39,7 +41,7 @@ def optimize_molecules_confs(
     max_iters: int = 200,
     grad_tol: float = 1e-4,
     hardware_options: HardwareOptions | None = None,
-    backend: str = "lbfgs",
+    backend: str = "flat",
 ):
     """Minimize every conformer of every molecule.
 
@@ -81,20 +83,35 @@ def optimize_molecules_confs(
     multi = len(devices) > 1
 
     for bucket, systems in sorted(bucket_systems.items()):
-        sys_mols = [mols[s.mol_idx] for s in systems]
         S = len(systems)
         n_pad = 0
         if multi and S % len(devices):
             n_pad = len(devices) - S % len(devices)
-            sys_mols = sys_mols + [sys_mols[0]] * n_pad
-        batch = make_batch_fn(sys_mols, bucket)
+
+        # Batch term tables once per UNIQUE molecule, then expand to
+        # (molecule, conformer) systems with device-side gathers — a
+        # many-conformer batch ships each molecule's tables across the
+        # host->device link exactly once (the reference re-flattens
+        # contribs per conformer, ``src/forcefields/mmff.h:352-370``).
+        unique_mol_ids: list[int] = []
+        mol_to_row: dict[int, int] = {}
+        sys2mol = np.empty(S + n_pad, np.int32)
+        for k, s in enumerate(systems):
+            row = mol_to_row.get(s.mol_idx)
+            if row is None:
+                row = mol_to_row[s.mol_idx] = len(unique_mol_ids)
+                unique_mol_ids.append(s.mol_idx)
+            sys2mol[k] = row
+        sys2mol[S:] = sys2mol[0] if n_pad else 0
+        ubatch = make_batch_fn([mols[i] for i in unique_mol_ids], bucket)
+        batch = expand_batch_to_systems(ubatch, sys2mol, S + n_pad)
+
         pos0 = np.zeros((S + n_pad, bucket, 3), dtype=np.float32)
         for k, s in enumerate(systems):
             m = mols[s.mol_idx]
             pos0[k, : m.num_atoms] = m.conformers[s.conf_idx]
         if n_pad:
-            m0 = mols[systems[0].mol_idx]
-            pos0[S:, : m0.num_atoms] = m0.conformers[systems[0].conf_idx]
+            pos0[S:] = pos0[0]
 
         if multi:
             res = distributed_minimize(
@@ -113,18 +130,20 @@ def optimize_molecules_confs(
                 grad_tol=grad_tol,
                 backend=backend,
             )
-        e = np.asarray(res.energies)
-        conv = np.asarray(res.converged)
-        pos = np.asarray(res.positions)
+        # one consolidated device->host fetch (3 separate np.asarray calls
+        # each pay a full host<->device round trip)
+        e, conv, pos = jax.device_get((res.energies, res.converged, res.positions))
         mol_ids = np.asarray([s.mol_idx for s in systems])
         conf_ids = np.asarray([s.conf_idx for s in systems])
         k = len(systems)
         out_pos[mol_ids, conf_ids, :bucket] = pos[:k]
         converged_out[mol_ids, conf_ids] = conv[:k]
         energies_out[mol_ids, conf_ids] = e[:k]
+        e_list = e[:k].tolist()
+        st_list = np.where(conv[:k], 0, 1).tolist()
         for j, s in enumerate(systems):
-            energies[s.mol_idx][s.conf_idx] = float(e[j])
-            statuses[s.mol_idx][s.conf_idx] = 0 if bool(conv[j]) else 1
+            energies[s.mol_idx][s.conf_idx] = e_list[j]
+            statuses[s.mol_idx][s.conf_idx] = st_list[j]
 
     dense = Dense3DResult(
         positions=jnp.asarray(out_pos),

@@ -27,7 +27,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from nvmolkit_tpu.chem.mol import Mol
-from nvmolkit_tpu.models.terms import batch_terms_per_system, slot_onehots
+from nvmolkit_tpu.models.terms import (
+    batch_terms_per_system,
+    select_slots,
+    slot_onehots_device,
+)
 from nvmolkit_tpu.models.uff.builder import UFFTerms, build_uff_terms
 from nvmolkit_tpu.models.uff.params import uff_atom_type
 
@@ -46,23 +50,25 @@ class UFFBatch:
       [offsets[k], offsets[k] + counts[k]) of the T_all axis.
 
     tables: kind -> {"mask": [S, Tk], params...}
-    nonbonded: per-atom vdW params + dense exclusion mask.
+    nonbonded: flattened [S, A*A] pair tables (exclusions folded into
+    nb_d = 0); with small buckets a trailing axis of A wastes most of
+    every (8, 128) TPU tile, while A*A tiles exactly.
     """
 
     n_systems: int
     max_atoms: int
     offsets: tuple            # kind -> (start, count), static
     atom_mask: jnp.ndarray    # [S, A] bool
+    sel_idx: jnp.ndarray      # [S, T_all, 4] int32 fused term atoms
     onehot: jnp.ndarray       # [4, S, T_all, A] f32
     tables: dict[str, dict[str, jnp.ndarray]]
-    vdw_x: jnp.ndarray        # [S, A] per-atom well distance
-    vdw_d: jnp.ndarray        # [S, A] per-atom well depth
-    nb_mask: jnp.ndarray      # [S, A, A] bool (i<j, not 1-2/1-3)
+    nb_x2: jnp.ndarray        # [S, A*A] pair x_ij^2 (flattened i*A+j)
+    nb_d: jnp.ndarray         # [S, A*A] pair well depth, 0 where excluded
 
     def tree_flatten(self):
         children = (
-            self.atom_mask, self.onehot, self.tables,
-            self.vdw_x, self.vdw_d, self.nb_mask,
+            self.atom_mask, self.sel_idx, self.onehot, self.tables,
+            self.nb_x2, self.nb_d,
         )
         return children, (self.n_systems, self.max_atoms, self.offsets)
 
@@ -85,7 +91,9 @@ def _nb_exclusion(mol: Mol) -> list[tuple[int, int]]:
 
 
 def _nb_rows(m: Mol, max_atoms: int):
-    """Cached per-molecule nonbonded data at a given bucket size."""
+    """Cached per-molecule flattened nonbonded pair tables [A*A]:
+    x_ij^2 and sqrt(D_i D_j), zero where excluded (1-2/1-3 or padding).
+    Pair (i, j) lives at flat index i*A + j (see UFFBatch)."""
     cache = getattr(m, "_uff_nb_cache", None)
     if cache is not None and cache[0] == max_atoms:
         return cache[1]
@@ -100,7 +108,9 @@ def _nb_rows(m: Mol, max_atoms: int):
     mask[:na, :na] = np.triu(np.ones((na, na), bool), 1)
     for (i, j) in _nb_exclusion(m):
         mask[i, j] = False
-    rows = (x, d, mask)
+    x2 = np.where(mask, np.outer(x, x), 0.0).astype(np.float32).reshape(A * A)
+    dij = np.where(mask, np.sqrt(np.maximum(np.outer(d, d), 0.0)), 0.0)
+    rows = (x2, dij.astype(np.float32).reshape(A * A))
     m._uff_nb_cache = (max_atoms, rows)
     return rows
 
@@ -113,18 +123,16 @@ def batch_uff_terms(
     S = len(terms)
     A = max_atoms
     atom_mask = np.zeros((S, A), bool)
-    vdw_x = np.empty((S, A), np.float32)
-    vdw_d = np.empty((S, A), np.float32)
-    nb_mask = np.empty((S, A, A), bool)
+    nb_x2 = np.empty((S, A * A), np.float32)
+    nb_d = np.empty((S, A * A), np.float32)
     for s, m in enumerate(mols):
         na = m.num_atoms
         if na > A:
             raise ValueError(f"system {s} has {na} atoms > bucket {A}")
         atom_mask[s, :na] = True
-        x, d, mask = _nb_rows(m, A)
-        vdw_x[s] = x
-        vdw_d[s] = d
-        nb_mask[s] = mask
+        x2, dij = _nb_rows(m, A)
+        nb_x2[s] = x2
+        nb_d[s] = dij
 
     # fuse all bonded kinds into one 4-slot selection table
     tables = {}
@@ -146,17 +154,18 @@ def batch_uff_terms(
             "mask": jnp.asarray(per_sys.pop("mask")),
             **{k: jnp.asarray(v) for k, v in per_sys.items()},
         }
-    onehot = slot_onehots(np.concatenate(fused_idx, axis=1), A)  # [4, S, T_all, A]
+    sel_idx = jnp.asarray(np.concatenate(fused_idx, axis=1))
+    onehot = slot_onehots_device(sel_idx, A)  # [4, S, T_all, A], built on device
     return UFFBatch(
         n_systems=S,
         max_atoms=A,
         offsets=tuple(offsets),
         atom_mask=jnp.asarray(atom_mask),
-        onehot=jnp.asarray(onehot),
+        sel_idx=sel_idx,
+        onehot=onehot,
         tables=tables,
-        vdw_x=jnp.asarray(vdw_x),
-        vdw_d=jnp.asarray(vdw_d),
-        nb_mask=jnp.asarray(nb_mask),
+        nb_x2=jnp.asarray(nb_x2),
+        nb_d=jnp.asarray(nb_d),
     )
 
 
@@ -182,21 +191,31 @@ def make_batched_uff(
     return batch_uff_terms(terms, mols, max_atoms)
 
 
+# Term math runs in [S, 3, T] layout: xyz on the sublane axis, terms on
+# the lane axis (see models/terms.select_slots).
+_EX = np.asarray([1.0, 0.0, 0.0], np.float32).reshape(1, 3, 1)
+_EY = np.asarray([0.0, 1.0, 0.0], np.float32).reshape(1, 3, 1)
+_EZ = np.asarray([0.0, 0.0, 1.0], np.float32).reshape(1, 3, 1)
+
+
 def _norm(d):
-    return jnp.sqrt(jnp.sum(d * d, axis=-1) + _EPS)
+    return jnp.sqrt(jnp.sum(d * d, axis=1) + _EPS)
 
 
-_EX = np.asarray([1.0, 0.0, 0.0], np.float32)
-_EY = np.asarray([0.0, 1.0, 0.0], np.float32)
-_EZ = np.asarray([0.0, 0.0, 1.0], np.float32)
+def _dot(u, v):
+    return jnp.sum(u * v, axis=1)
+
+
+def _cross(u, v):
+    return jnp.cross(u, v, axisa=1, axisb=1, axisc=1)
 
 
 def _safe(d, mask, unit):
-    return jnp.where(mask[..., None], d, unit.astype(d.dtype))
+    return jnp.where(mask[:, None, :], d, unit.astype(d.dtype))
 
 
 def _bond_energy(p, t):
-    """p: tuple of 4 slot-position slices [S, Tk, 3]."""
+    """p: tuple of 4 slot-position slices [S, 3, Tk]."""
     d = _safe(p[0] - p[1], t["mask"], _EX)
     dr = _norm(d) - t["r0"]
     return jnp.where(t["mask"], 0.5 * t["k"] * dr * dr, 0.0)
@@ -205,7 +224,7 @@ def _bond_energy(p, t):
 def _angle_energy(p, t):
     u = _safe(p[0] - p[1], t["mask"], _EX)
     v = _safe(p[2] - p[1], t["mask"], _EY)
-    c = jnp.clip(jnp.sum(u * v, -1) / (_norm(u) * _norm(v)), -1.0, 1.0)
+    c = jnp.clip(_dot(u, v) / (_norm(u) * _norm(v)), -1.0, 1.0)
     poly = t["a0"] + c * (t["a1"] + c * (t["a2"] + c * (t["a3"] + c * t["a4"])))
     return jnp.where(t["mask"], t["k"] * poly, 0.0)
 
@@ -214,9 +233,9 @@ def _torsion_energy(p, t):
     b1 = _safe(p[1] - p[0], t["mask"], _EX)
     b2 = _safe(p[2] - p[1], t["mask"], _EY)
     b3 = _safe(p[3] - p[2], t["mask"], _EZ)
-    n1 = jnp.cross(b1, b2)
-    n2 = jnp.cross(b2, b3)
-    c = jnp.clip(jnp.sum(n1 * n2, -1) / (_norm(n1) * _norm(n2)), -1.0, 1.0)
+    n1 = _cross(b1, b2)
+    n2 = _cross(b2, b3)
+    c = jnp.clip(_dot(n1, n2) / (_norm(n1) * _norm(n2)), -1.0, 1.0)
     poly = t["b0"] + c * (
         t["b1"]
         + c * (t["b2"] + c * (t["b3"] + c * (t["b4"] + c * (t["b5"] + c * t["b6"]))))
@@ -228,8 +247,8 @@ def _inversion_energy(p, t):
     rji = _safe(p[0] - p[1], t["mask"], _EX)
     rjk = _safe(p[2] - p[1], t["mask"], _EY)
     rjl = _safe(p[3] - p[1], t["mask"], _EX)
-    n = jnp.cross(rji, rjk)
-    sin_y = jnp.clip(jnp.sum(n * rjl, -1) / (_norm(n) * _norm(rjl)), -1.0, 1.0)
+    n = _cross(rji, rjk)
+    sin_y = jnp.clip(_dot(n, rjl) / (_norm(n) * _norm(rjl)), -1.0, 1.0)
     cos_w = jnp.sqrt(jnp.clip(1.0 - sin_y * sin_y, _EPS, 1.0))
     return jnp.where(t["mask"], t["k"] * (1.0 - cos_w), 0.0)
 
@@ -243,35 +262,28 @@ _BONDED = {
 
 
 def _vdw_energy_dense(positions, batch: UFFBatch) -> jnp.ndarray:
-    """LJ 12-6 over all non-excluded pairs via one Gram matmul -> [S]."""
+    """LJ 12-6 over all non-excluded pairs via one Gram matmul -> [S].
+
+    Runs on flattened [S, A*A] pair tables (see UFFBatch); exclusions
+    are folded into nb_d = 0, so e = 0 there with no mask tensor."""
+    S, A = positions.shape[0], positions.shape[1]
     sq = jnp.sum(positions * positions, axis=-1)          # [S, A]
     gram = jnp.einsum(
         "sad,sbd->sab", positions, positions, preferred_element_type=jnp.float32
     )
-    r2 = sq[:, :, None] + sq[:, None, :] - 2.0 * gram     # [S, A, A]
+    r2 = (sq[:, :, None] + sq[:, None, :] - 2.0 * gram).reshape(S, A * A)
     r2 = jnp.maximum(r2, 1e-2)                            # clash floor
-    x2 = batch.vdw_x[:, :, None] * batch.vdw_x[:, None, :]  # x_ij^2
-    d_ij = jnp.sqrt(
-        jnp.maximum(batch.vdw_d[:, :, None] * batch.vdw_d[:, None, :], 0.0)
-    )
-    r6 = (x2 / r2) ** 3
-    e = d_ij * (r6 * r6 - 2.0 * r6)
-    return jnp.sum(jnp.where(batch.nb_mask, e, 0.0), axis=(1, 2))
+    r6 = (batch.nb_x2 / r2) ** 3
+    e = batch.nb_d * (r6 * r6 - 2.0 * r6)
+    return jnp.sum(e, axis=1)
 
 
 def uff_energy(positions: jnp.ndarray, batch: UFFBatch) -> jnp.ndarray:
     """Per-system UFF energies: positions [S, A, 3] -> [S] (kcal/mol)."""
     total = _vdw_energy_dense(positions, batch)
-    # one fused selection per arity slot: [S, T_all, 3] each
-    slots = [
-        jnp.einsum(
-            "sta,sad->std", batch.onehot[s], positions,
-            preferred_element_type=jnp.float32,
-        )
-        for s in range(4)
-    ]
+    slots = select_slots(positions, batch.sel_idx, batch.onehot)  # [4, S, 3, T]
     for kind, start, count in batch.offsets:
-        p = tuple(sl[:, start : start + count] for sl in slots)
+        p = tuple(slots[q, :, :, start : start + count] for q in range(4))
         e = _BONDED[kind](p, batch.tables[kind])
         total = total + jnp.sum(e, axis=1)
     return total

@@ -18,10 +18,12 @@ import jax.numpy as jnp
 
 from nvmolkit_tpu.ops.bfgs import BfgsResult, batched_bfgs_minimize
 from nvmolkit_tpu.ops.lbfgs import batched_lbfgs_minimize
+from nvmolkit_tpu.ops.lbfgs_flat import batched_lbfgs_flat_minimize
 
 BACKENDS = {
     "bfgs": batched_bfgs_minimize,
     "lbfgs": batched_lbfgs_minimize,
+    "flat": batched_lbfgs_flat_minimize,
 }
 
 
@@ -46,7 +48,7 @@ def minimize_compacting(
     batch,
     max_iters: int = 200,
     grad_tol: float = 1e-4,
-    backend: str = "lbfgs",
+    backend: str = "flat",
     phase1_iters: int = 48,
 ) -> BfgsResult:
     if backend not in BACKENDS:
@@ -54,9 +56,16 @@ def minimize_compacting(
     minimize = BACKENDS[backend]
     S = positions.shape[0]
     phase1 = min(phase1_iters, max_iters)
+    if backend == "flat":
+        # the flat backend counts device steps (energy evals), not outer
+        # iterations; the median system accepts in ~2-3 probes per outer
+        # iteration, so budget phase 1 accordingly
+        phase_kw = {"max_iters": max_iters, "max_steps": 4 * phase1}
+    else:
+        phase_kw = {"max_iters": phase1}
     res = minimize(
         energy_and_grad_fn, positions, atom_mask,
-        max_iters=phase1, grad_tol=grad_tol, energy_args=batch,
+        grad_tol=grad_tol, energy_args=batch, **phase_kw,
     )
     if phase1 >= max_iters:
         return res
@@ -75,7 +84,7 @@ def minimize_compacting(
         energy_and_grad_fn,
         res.positions[idx],
         atom_mask[idx],
-        max_iters=max_iters - phase1,
+        max_iters=max_iters if backend == "flat" else max_iters - phase1,
         grad_tol=grad_tol,
         energy_args=sub_batch,
     )

@@ -20,7 +20,7 @@ def UFFOptimizeMoleculesConfs(
     ignoreInterfragInteractions: bool = True,
     nonBondedThreshold: float | None = None,
     hardwareOptions: HardwareOptions | None = None,
-    backend: str = "lbfgs",
+    backend: str = "flat",
 ):
     """Minimize all conformers of all molecules under UFF.
 
