@@ -1,15 +1,24 @@
-"""Headline benchmark: cross-Tanimoto similarity throughput (pairs/sec/chip).
+"""Driver benchmark: all BASELINE.md rows, one JSON line.
 
-Target (BASELINE.md): >= 1e9 Tanimoto pairs/sec/chip on TPU, computed over
+Headline metric (BASELINE.md): >= 1e9 Tanimoto pairs/sec/chip over
 packed 2048-bit Morgan-style fingerprints — the reference's tensor-core
-BMMA headline workload (``src/similarity_kernels.cu:33``), rebuilt as an
-MXU bits-matmul.
+BMMA workload (``src/similarity_kernels.cu:33``), rebuilt as an MXU
+bits-matmul. The same line carries the other BASELINE rows in
+``extra_metrics``:
 
-Prints exactly one JSON line:
-  {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+  * mmff_minimizations  — through the public ``MMFFOptimizeMoleculesConfs``
+    API (embed -> batch -> flat L-BFGS -> results), target >= 5000/sec
+  * fused_butina_100k   — fingerprints -> similarity -> clusters with no
+    host round-trip, 100k molecules (wall seconds)
+  * morgan_fp_e2e       — SMILES -> Morgan fingerprints (r=3, 2048 bits),
+    10k molecules (mols/sec)
+
+Each extra metric is guarded: a tunnel stall in one workload must not
+take down the headline line.
 """
 import json
 import time
+import traceback
 
 import numpy as np
 
@@ -19,6 +28,7 @@ import jax.numpy as jnp
 from nvmolkit_tpu.ops.similarity import cross_similarity
 
 BASELINE_PAIRS_PER_SEC = 1e9
+BASELINE_MMFF_PER_SEC = 5000.0
 FP_BITS = 2048
 N = 16384
 M = 16384
@@ -33,7 +43,7 @@ def make_fingerprints(n: int, bits: int, mean_on: int = 64, seed: int = 0) -> np
     return pack_bits_np(dense.astype(np.uint8))
 
 
-def main() -> None:
+def bench_similarity() -> float:
     fps_a = jnp.asarray(make_fingerprints(N, FP_BITS, seed=0))
     fps_b = jnp.asarray(make_fingerprints(M, FP_BITS, seed=1))
 
@@ -57,8 +67,94 @@ def main() -> None:
         vals = [sim_checksum(fps_a, fps_b) for _ in range(reps)]
         float(vals[-1])  # one sync; all reps executed on device
         best = min(best, time.perf_counter() - t0)
+    return (N * M * reps) / best
 
-    pairs_per_sec = (N * M * reps) / best
+
+def _bench_mols(n: int) -> list[str]:
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent / "benchmarks"))
+    from _common import make_smiles
+
+    return make_smiles(n)
+
+
+def bench_mmff() -> dict:
+    """Public-API MMFF minimization throughput (embedded drug-like set)."""
+    from nvmolkit_tpu.chem.native import mols_from_smiles
+    from nvmolkit_tpu.embedMolecules import EmbedMolecules
+    from nvmolkit_tpu.mmffOptimization import MMFFOptimizeMoleculesConfs
+
+    mols = mols_from_smiles(_bench_mols(1024))
+    EmbedMolecules(mols, confsPerMolecule=8, maxIterations=8)
+    mols = [m for m in mols if m.conformers]
+    n_systems = sum(len(m.conformers) for m in mols)
+
+    MMFFOptimizeMoleculesConfs(mols, maxIters=200)  # compile + warm
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        results, dense = MMFFOptimizeMoleculesConfs(mols, maxIters=200)
+        best = min(best, time.perf_counter() - t0)
+    conv = np.asarray(dense.converged)[np.asarray(dense.conf_mask)]
+    v = n_systems / best
+    return {
+        "metric": "mmff_minimizations",
+        "value": v,
+        "unit": "minimizations/sec",
+        "vs_baseline": v / BASELINE_MMFF_PER_SEC,
+        "n_systems": n_systems,
+        "converged_frac": float(conv.mean()),
+    }
+
+
+def bench_fused_butina() -> dict:
+    """100k molecules: FP -> similarity -> clusters, no host round-trip."""
+    from nvmolkit_tpu.clustering import fused_butina
+
+    fps = jnp.asarray(make_fingerprints(100_000, FP_BITS, seed=2))
+    fused_butina(fps[:4096], cutoff=0.6)  # compile at a small size first
+    t0 = time.perf_counter()
+    clusters, sizes = fused_butina(fps, cutoff=0.6)
+    wall = time.perf_counter() - t0
+    return {
+        "metric": "fused_butina_100k",
+        "value": wall,
+        "unit": "seconds",
+        "vs_baseline": None,
+        "n_clusters": len(clusters),
+    }
+
+
+def bench_morgan() -> dict:
+    """SMILES -> Morgan fingerprints (r=3, 2048) end to end, 10k mols."""
+    from nvmolkit_tpu.fingerprints import MorganFingerprintGenerator
+
+    smiles = _bench_mols(10_000)
+    gen = MorganFingerprintGenerator(radius=3, fpSize=2048)
+    gen.GetFingerprintsFromSmiles(smiles[:512]).numpy()  # compile + warm
+    t0 = time.perf_counter()
+    fps = gen.GetFingerprintsFromSmiles(smiles).numpy()
+    wall = time.perf_counter() - t0
+    assert fps.shape[0] == len(smiles)
+    return {
+        "metric": "morgan_fp_e2e",
+        "value": len(smiles) / wall,
+        "unit": "mols/sec",
+        "vs_baseline": None,
+    }
+
+
+def main() -> None:
+    pairs_per_sec = bench_similarity()
+    extras = []
+    for fn in (bench_mmff, bench_fused_butina, bench_morgan):
+        try:
+            extras.append(fn())
+        except Exception:
+            traceback.print_exc()
+            extras.append({"metric": fn.__name__, "value": None, "error": True})
     print(
         json.dumps(
             {
@@ -66,6 +162,7 @@ def main() -> None:
                 "value": pairs_per_sec,
                 "unit": "pairs/sec/chip",
                 "vs_baseline": pairs_per_sec / BASELINE_PAIRS_PER_SEC,
+                "extra_metrics": extras,
             }
         )
     )

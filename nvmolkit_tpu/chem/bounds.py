@@ -32,20 +32,31 @@ _VDW_RADIUS = {
 }
 
 
-def topological_bounds(mol: Mol) -> tuple[np.ndarray, np.ndarray]:
-    """Return (upper, lower) [n, n] float32 bounds in Angstrom."""
+def topological_bounds(
+    mol: Mol, relaxed: bool = False
+) -> tuple[np.ndarray, np.ndarray]:
+    """Return (upper, lower) [n, n] float32 bounds in Angstrom.
+
+    ``relaxed=True`` mirrors the reference's smoothing-failure fallback
+    (``src/embedder_utils.cpp:249-256`` setupRelaxedBounds: recompute
+    without 1-5 bounds and with vdW scaling): vdW lower floors are
+    scaled down and the 1-3 / 1-4 tolerance windows widened, giving the
+    triangle-smoothing pass room on strained topologies."""
     n = mol.num_atoms
     upper = np.full((n, n), _BIG, dtype=np.float64)
     lower = np.zeros((n, n), dtype=np.float64)
 
     params = [uff_atom_type(mol, i) for i in range(n)]
+    vdw_scale = 0.7 if relaxed else 1.0
+    tol13 = 0.10 if relaxed else 0.04
+    lo14, hi14 = (0.88, 1.08) if relaxed else (0.95, 1.02)
 
     # vdW floors for all pairs
     for i in range(n):
         ri = _VDW_RADIUS.get(mol.atoms[i].atomic_num, 1.5)
         for j in range(i + 1, n):
             rj = _VDW_RADIUS.get(mol.atoms[j].atomic_num, 1.5)
-            lower[i, j] = lower[j, i] = 0.9 * (ri + rj) / 1.2
+            lower[i, j] = lower[j, i] = vdw_scale * 0.9 * (ri + rj) / 1.2
 
     # 1-2 from natural bond lengths
     r0 = {}
@@ -68,8 +79,8 @@ def topological_bounds(mol: Mol) -> tuple[np.ndarray, np.ndarray]:
                 d13 = math.sqrt(
                     max(rij**2 + rjk**2 - 2 * rij * rjk * math.cos(t0), 1e-6)
                 )
-                u = min(upper[i, k], d13 * 1.04)
-                l = max(lower[i, k], d13 * 0.96)
+                u = min(upper[i, k], d13 * (1.0 + tol13))
+                l = max(lower[i, k], d13 * (1.0 - tol13))
                 if l > u:  # conflicting angle paths (rings): widen
                     mid = 0.5 * (l + u)
                     u = mid * 1.03
@@ -101,8 +112,8 @@ def topological_bounds(mol: Mol) -> tuple[np.ndarray, np.ndarray]:
 
                 d_cis = d14(0.0)
                 d_trans = d14(math.pi)
-                u = min(upper[i, l], max(d_cis, d_trans) * 1.02)
-                lo = max(lower[i, l], min(d_cis, d_trans) * 0.95)
+                u = min(upper[i, l], max(d_cis, d_trans) * hi14)
+                lo = max(lower[i, l], min(d_cis, d_trans) * lo14)
                 if lo > u:
                     mid = 0.5 * (lo + u)
                     u = mid * 1.05
@@ -112,10 +123,15 @@ def topological_bounds(mol: Mol) -> tuple[np.ndarray, np.ndarray]:
 
     # E/Z double bonds: pin the flanking 1-4 distance to the cis or the
     # trans geometry (the reference's stereo-double-bond handling;
-    # embedder_utils findDoubleBonds + stereo checks)
-    from nvmolkit_tpu.chem.stereo import find_stereo_double_bonds
+    # embedder_utils findDoubleBonds + stereo checks). Double bonds in
+    # small rings (< 8) get their in-ring substituents pinned cis the
+    # way RDKit's setTopolBounds does.
+    from nvmolkit_tpu.chem.stereo import (
+        find_ring_cis_double_bonds,
+        find_stereo_double_bonds,
+    )
 
-    for sdb in find_stereo_double_bonds(mol):
+    for sdb in find_stereo_double_bonds(mol) + find_ring_cis_double_bonds(mol):
         i, j, k, l = sdb.i, sdb.j, sdb.k, sdb.l
         rij, rjk, rkl = r0[(i, j)], r0[(j, k)], r0[(k, l)]
         tj = math.radians(params[j].theta0)

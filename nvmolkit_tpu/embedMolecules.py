@@ -59,11 +59,16 @@ class EmbedParameters:
     useExpTorsionAnglePrefs: bool = False  # needs a torsion provider
     etkMinimizeIters: int = 150
     pruneRmsThresh: float = -1.0      # <=0 disables RMS pruning
+    ignoreSmoothingFailures: bool = False  # embed with relaxed unsmoothed bounds
 
 
 @dataclasses.dataclass
 class EmbedFailureCounts:
     """Per-stage failure counters (the reference's getFailures())."""
+
+    double_bond_geometry: int = 0
+    double_bond_stereo: int = 0
+    chiral_dist_check: int = 0
 
     smoothing: int = 0
     first_minimize: int = 0
@@ -176,13 +181,20 @@ def _embed_bucket(
     A = bucket
     M = len(mol_ids)
 
-    # host: bounds + chiral sets per unique molecule
+    # host: bounds + chiral sets + double-bond check data per unique molecule
+    from nvmolkit_tpu.chem.stereo import (
+        find_double_bond_ends,
+        find_stereo_double_bonds,
+    )
+
     upper = np.zeros((M, A, A), np.float32)
     lower = np.zeros((M, A, A), np.float32)
     atom_mask = np.zeros((M, A), bool)
     max_chiral = 1
     chiral_data = []
     tetra_data = []
+    dbe_data = []
+    sdb_data = []
     for k, mi in enumerate(mol_ids):
         m = molecules[mi]
         na = m.num_atoms
@@ -195,6 +207,8 @@ def _embed_bucket(
         tq = _tetrahedral_centers(m)
         tetra_data.append(tq)
         max_chiral = max(max_chiral, len(cidx))
+        dbe_data.append(find_double_bond_ends(m))
+        sdb_data.append(find_stereo_double_bonds(m))
     max_tetra = max(1, max((len(t) for t in tetra_data), default=1))
 
     C = max_chiral
@@ -216,14 +230,90 @@ def _embed_bucket(
             tetra_idx[k, : len(tq)] = tq
             tetra_mask[k, : len(tq)] = True
 
+    # double-bond geometry check triples (i, j, k)
+    D = max(1, max((len(d) for d in dbe_data), default=1))
+    dbe_idx = np.zeros((M, D, 3), np.int32)
+    dbe_mask = np.zeros((M, D), bool)
+    for k, triples in enumerate(dbe_data):
+        if triples:
+            dbe_idx[k, : len(triples)] = triples
+            dbe_mask[k, : len(triples)] = True
+
+    # double-bond stereo check quartets + signs (-1 cis, +1 trans)
+    Q = max(1, max((len(s) for s in sdb_data), default=1))
+    sdb_idx = np.zeros((M, Q, 4), np.int32)
+    sdb_sign = np.zeros((M, Q), np.float32)
+    sdb_mask = np.zeros((M, Q), bool)
+    for k, sdbs in enumerate(sdb_data):
+        for q, s in enumerate(sdbs):
+            sdb_idx[k, q] = (s.i, s.j, s.k, s.l)
+            sdb_sign[k, q] = -1.0 if s.is_cis else 1.0
+            sdb_mask[k, q] = True
+
     # device: triangle smoothing once per unique molecule
     with stage("triangle_smoothing"):
         ub_j, lb_j, consistent = triangle_smooth_bounds(
             jnp.asarray(upper), jnp.asarray(lower), jnp.asarray(atom_mask)
         )
     consistent = np.asarray(consistent)
+
+    # relaxed-bounds retry for smoothing failures: the reference
+    # recomputes bounds without 1-5 terms and with vdW scaling, then
+    # smooths again (src/embedder_utils.cpp:316-343); with
+    # ignoreSmoothingFailures it embeds with the relaxed unsmoothed
+    # bounds instead of giving up.
+    if not consistent.all():
+        retry_rows = np.nonzero(~consistent)[0]
+        upper_r = upper[retry_rows].copy()
+        lower_r = lower[retry_rows].copy()
+        for r, k in enumerate(retry_rows):
+            m = molecules[mol_ids[k]]
+            na = m.num_atoms
+            u, l = topological_bounds(m, relaxed=True)
+            upper_r[r, :na, :na] = u
+            lower_r[r, :na, :na] = l
+        ub_r, lb_r, cons_r = triangle_smooth_bounds(
+            jnp.asarray(upper_r), jnp.asarray(lower_r),
+            jnp.asarray(atom_mask[retry_rows]),
+        )
+        ub_j = ub_j.at[retry_rows].set(ub_r)
+        lb_j = lb_j.at[retry_rows].set(lb_r)
+        cons_r = np.asarray(cons_r)
+        consistent[retry_rows] = cons_r
+        if params.ignoreSmoothingFailures and not cons_r.all():
+            # proceed with relaxed, unsmoothed bounds
+            still = retry_rows[~cons_r]
+            ub_j = ub_j.at[still].set(jnp.asarray(upper_r[~cons_r]))
+            lb_j = lb_j.at[still].set(jnp.asarray(lower_r[~cons_r]))
+            consistent[still] = True
+
     fail.smoothing += int((~consistent).sum()) * confs_per_mol
     ub_np, lb_np = np.asarray(ub_j), np.asarray(lb_j)
+
+    # chiral distance-matrix check pairs: all pairs among atoms that
+    # participate in any chiral set, bounded by the smoothed bounds
+    # matrix (the reference's ETKDGChiralDistMatrixCheckStage,
+    # etkdg_stage_stereochem_checks.cu:615-656).
+    cd_pairs_per_mol = []
+    for k, (cidx, _clb, _cub) in enumerate(chiral_data):
+        atoms_in_sets = sorted(set(np.asarray(cidx).ravel().tolist())) if len(cidx) else []
+        pairs = [
+            (a, b)
+            for x, a in enumerate(atoms_in_sets)
+            for b in atoms_in_sets[x + 1 :]
+        ]
+        cd_pairs_per_mol.append(pairs)
+    P = max(1, max((len(p) for p in cd_pairs_per_mol), default=1))
+    cd_idx = np.zeros((M, P, 2), np.int32)
+    cd_lb = np.zeros((M, P), np.float32)
+    cd_ub = np.ones((M, P), np.float32)
+    cd_mask = np.zeros((M, P), bool)
+    for k, pairs in enumerate(cd_pairs_per_mol):
+        for p, (a, b) in enumerate(pairs):
+            cd_idx[k, p] = (a, b)
+            cd_lb[k, p] = lb_np[k, a, b]
+            cd_ub[k, p] = ub_np[k, a, b]
+            cd_mask[k, p] = True
 
     # expand unique molecules -> (mol, conf) systems
     sys_mol = np.repeat(np.arange(M), confs_per_mol)       # [S]
@@ -246,6 +336,15 @@ def _embed_bucket(
     cm_s = jnp.asarray(chiral_mask[sys_mol])
     ti_s = jnp.asarray(tetra_idx[sys_mol])
     tm_s = jnp.asarray(tetra_mask[sys_mol])
+    dbe_i_s = jnp.asarray(dbe_idx[sys_mol])
+    dbe_m_s = jnp.asarray(dbe_mask[sys_mol])
+    sdb_i_s = jnp.asarray(sdb_idx[sys_mol])
+    sdb_sg_s = jnp.asarray(sdb_sign[sys_mol])
+    sdb_m_s = jnp.asarray(sdb_mask[sys_mol])
+    cd_i_s = jnp.asarray(cd_idx[sys_mol])
+    cd_lb_s = jnp.asarray(cd_lb[sys_mol])
+    cd_ub_s = jnp.asarray(cd_ub[sys_mol])
+    cd_m_s = jnp.asarray(cd_mask[sys_mol])
 
     from nvmolkit_tpu.models.dist_geom import dg_eg
 
@@ -312,19 +411,28 @@ def _embed_bucket(
             pos3 = res3.positions
 
         with stage("stereo_checks"):
-            ok_bounds, ok_chiral, ok_tetra = _check_embeddings(
+            oks = _check_embeddings(
                 pos3, ub_s, lb_s, pair_mask, ci_s, clb_s, cub_s, cm_s,
-                ti_s, tm_s, params.maxViolationRatio, params.minTetrahedralVolume,
+                ti_s, tm_s, dbe_i_s, dbe_m_s, sdb_i_s, sdb_sg_s, sdb_m_s,
+                cd_i_s, cd_lb_s, cd_ub_s, cd_m_s,
+                params.maxViolationRatio, params.minTetrahedralVolume,
             )
-        ok_bounds = np.asarray(ok_bounds)
-        ok_chiral = np.asarray(ok_chiral)
-        ok_tetra = np.asarray(ok_tetra)
-        ok = ok_bounds & ok_chiral & ok_tetra
-        fail.bounds_check += int((needed & ~ok_bounds).sum())
-        fail.chiral_check += int((needed & ok_bounds & ~ok_chiral).sum())
-        fail.tetrahedral_check += int(
-            (needed & ok_bounds & ok_chiral & ~ok_tetra).sum()
+        names = (
+            ("bounds_check",),
+            ("chiral_check",),
+            ("tetrahedral_check",),
+            ("double_bond_geometry",),
+            ("double_bond_stereo",),
+            ("chiral_dist_check",),
         )
+        oks = [np.asarray(o) for o in oks]
+        ok = np.ones(S, bool)
+        passed_so_far = np.ones(S, bool)
+        for (name,), o in zip(names, oks):
+            newly_failed = needed & passed_so_far & ~o
+            setattr(fail, name, getattr(fail, name) + int(newly_failed.sum()))
+            passed_so_far &= o
+            ok &= o
 
         pos_np = np.asarray(pos3)
         for s in range(S):
@@ -341,10 +449,13 @@ def _embed_bucket(
 @jax.jit
 def _check_embeddings(
     pos3, ub, lb, pair_mask, chiral_idx, chiral_lb, chiral_ub, chiral_mask,
-    tetra_idx, tetra_mask, max_violation_ratio, min_tetra_volume,
+    tetra_idx, tetra_mask, dbe_idx, dbe_mask, sdb_idx, sdb_sign, sdb_mask,
+    cd_idx, cd_lb, cd_ub, cd_mask, max_violation_ratio, min_tetra_volume,
 ):
     """Vectorized acceptance checks (the reference's stereochem-check
-    stages, etkdg_stage_stereochem_checks.h)."""
+    stages, etkdg_stage_stereochem_checks.h:55-195): bounds violation,
+    chiral volume, tetrahedral collapse, double-bond geometry
+    (linearity), double-bond E/Z stereo, and chiral distance-matrix."""
     S, A, _ = pos3.shape
     diff = pos3[:, :, None, :] - pos3[:, None, :, :]
     d = jnp.sqrt(jnp.sum(diff * diff, axis=-1) + 1e-12)
@@ -355,10 +466,13 @@ def _check_embeddings(
 
     flat = pos3.reshape(S * A, 3)
 
+    def gather_pts(idx):  # [S, K, Q] -> [S, K, Q, 3]
+        K, Qa = idx.shape[1], idx.shape[2]
+        base = (jnp.arange(S)[:, None, None] * A + idx).reshape(S * K * Qa)
+        return flat[base].reshape(S, K, Qa, 3)
+
     def vol(idx):  # [S, K, 4] -> [S, K]
-        K = idx.shape[1]
-        base = (jnp.arange(S)[:, None, None] * A + idx).reshape(S * K * 4)
-        pts = flat[base].reshape(S, K, 4, 3)
+        pts = gather_pts(idx)
         v1 = pts[:, :, 0] - pts[:, :, 3]
         v2 = pts[:, :, 1] - pts[:, :, 3]
         v3 = pts[:, :, 2] - pts[:, :, 3]
@@ -371,4 +485,43 @@ def _check_embeddings(
     tvol = jnp.abs(vol(tetra_idx))
     t_ok = tvol > min_tetra_volume
     ok_tetra = jnp.all(jnp.where(tetra_mask, t_ok, True), axis=1)
-    return ok_bounds, ok_chiral, ok_tetra
+
+    # double-bond geometry: unit(p_j - p_i) . unit(p_j - p_k) must not be
+    # -1 (linear collapse); tolerance 1e-3 per the reference kernel
+    # (etkdg_stage_stereochem_checks.cu doubleBondGeometryKernel).
+    dpts = gather_pts(dbe_idx)  # [S, D, 3(atoms), 3(xyz)]
+    u1 = dpts[:, :, 1] - dpts[:, :, 0]
+    u2 = dpts[:, :, 1] - dpts[:, :, 2]
+    n1 = jnp.sqrt(jnp.sum(u1 * u1, axis=-1) + 1e-12)
+    n2 = jnp.sqrt(jnp.sum(u2 * u2, axis=-1) + 1e-12)
+    ddot = jnp.sum(u1 * u2, axis=-1) / (n1 * n2)
+    g_ok = (ddot + 1.0) >= 1e-3
+    ok_dbgeom = jnp.all(jnp.where(dbe_mask, g_ok, True), axis=1)
+
+    # double-bond stereo: sign of the angle between the two flanking
+    # cross products around the bond axis; sign = -1 for cis/Z. The
+    # conformer fails when sign * cos(angle) > 0 (reference
+    # doubleBondStereoKernel: fail if (angle - pi/2) * sign < 0).
+    spts = gather_pts(sdb_idx)  # quartet (i, j, k, l)
+    axis = spts[:, :, 2] - spts[:, :, 1]          # j -> k
+    c1 = jnp.cross(spts[:, :, 0] - spts[:, :, 1], axis)
+    c2 = jnp.cross(spts[:, :, 3] - spts[:, :, 2], axis)
+    denom = jnp.sqrt(
+        jnp.sum(c1 * c1, axis=-1) * jnp.sum(c2 * c2, axis=-1) + 1e-12
+    )
+    cosang = jnp.sum(c1 * c2, axis=-1) / denom
+    s_ok = (sdb_sign * cosang) <= 0.0
+    ok_dbstereo = jnp.all(jnp.where(sdb_mask, s_ok, True), axis=1)
+
+    # chiral distance-matrix check: pairs of chiral-set atoms must stay
+    # within the (smoothed) bounds with a 0.1 * upper slack (reference
+    # chiralDistMatrixCheck kernel).
+    cpts = gather_pts(cd_idx)  # [S, P, 2, 3]
+    cdiff = cpts[:, :, 0] - cpts[:, :, 1]
+    cdist = jnp.sqrt(jnp.sum(cdiff * cdiff, axis=-1) + 1e-12)
+    slack = 0.1 * cd_ub
+    bad = ((cdist < cd_lb) & (cd_lb - cdist > slack)) | (
+        (cdist > cd_ub) & (cdist - cd_ub > slack)
+    )
+    ok_cdist = jnp.all(jnp.where(cd_mask, ~bad, True), axis=1)
+    return ok_bounds, ok_chiral, ok_tetra, ok_dbgeom, ok_dbstereo, ok_cdist
