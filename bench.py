@@ -109,11 +109,31 @@ def bench_mmff() -> dict:
     }
 
 
+def make_clustered_fingerprints(
+    n: int, bits: int, n_centers: int = 2000, flip: float = 0.15, seed: int = 2
+) -> np.ndarray:
+    """Fingerprints drawn around cluster centers (ChEMBL-like structure:
+    analog series share most bits). Each row copies its center's ~64 on
+    bits and flips a fraction — so Butina actually forms clusters instead
+    of 100k singletons."""
+    from nvmolkit_tpu.ops.packed_bits import pack_bits_np
+
+    rng = np.random.default_rng(seed)
+    centers = rng.random((n_centers, bits)) < (64 / bits)
+    assign = rng.integers(0, n_centers, n)
+    dense = centers[assign]
+    # flip a subset of each row's ON bits off and add a few new ones
+    drop = rng.random((n, bits)) < flip
+    add = rng.random((n, bits)) < (64 * flip / bits)
+    dense = (dense & ~drop) | add
+    return pack_bits_np(dense.astype(np.uint8))
+
+
 def bench_fused_butina() -> dict:
     """100k molecules: FP -> similarity -> clusters, no host round-trip."""
     from nvmolkit_tpu.clustering import fused_butina
 
-    fps = jnp.asarray(make_fingerprints(100_000, FP_BITS, seed=2))
+    fps = jnp.asarray(make_clustered_fingerprints(100_000, FP_BITS))
     fused_butina(fps[:4096], cutoff=0.6)  # compile at a small size first
     t0 = time.perf_counter()
     clusters, sizes = fused_butina(fps, cutoff=0.6)
@@ -133,7 +153,8 @@ def bench_morgan() -> dict:
 
     smiles = _bench_mols(10_000)
     gen = MorganFingerprintGenerator(radius=3, fpSize=2048)
-    gen.GetFingerprintsFromSmiles(smiles[:512]).numpy()  # compile + warm
+    # compile + warm with the full set so every chunk shape is cached
+    gen.GetFingerprintsFromSmiles(smiles).numpy()
     t0 = time.perf_counter()
     fps = gen.GetFingerprintsFromSmiles(smiles).numpy()
     wall = time.perf_counter() - t0

@@ -28,6 +28,24 @@ _SUPPORTED_FP_SIZES = (128, 256, 512, 1024, 2048, 4096)
 _MORGAN_CHUNK = 8192
 
 
+def _chunk_pad(n: int) -> int:
+    """Round a chunk size up to a power of two (min 256, max the chunk
+    cap): tail chunks would otherwise compile a fresh kernel per batch
+    size, putting 20-40s of XLA compilation into steady-state calls."""
+    p = 256
+    while p < n:
+        p <<= 1
+    return min(p, _MORGAN_CHUNK)
+
+
+def _pad_rows(x, target: int):
+    """Zero-pad the leading axis to ``target`` rows and move to device."""
+    if x.shape[0] == target:
+        return jnp.asarray(x)
+    pad = np.zeros((target - x.shape[0],) + x.shape[1:], dtype=x.dtype)
+    return jnp.asarray(np.concatenate([x, pad], axis=0))
+
+
 def unpack_fingerprint(fp) -> np.ndarray:
     """Packed uint32 words -> 0/1 uint8 bits (last axis expanded x32)."""
     return unpack_bits_np(np.asarray(fp))
@@ -123,16 +141,18 @@ class MorganFingerprintGenerator:
         for bucket, (indices, b) in sorted(batches.items()):
             for start in range(0, len(indices), _MORGAN_CHUNK):
                 sl = slice(start, start + _MORGAN_CHUNK)
+                n = len(indices[sl])
+                pad = _chunk_pad(n)
                 fps = morgan_kernel(
-                    jnp.asarray(b["inv0"][sl]),
-                    jnp.asarray(b["adj_atoms"][sl]),
-                    jnp.asarray(b["adj_code"][sl]),
-                    jnp.asarray(b["adj_mask"][sl]),
-                    jnp.asarray(b["own_bits"][sl]),
-                    jnp.asarray(b["atom_mask"][sl]),
-                    jnp.asarray(b["degree"][sl]),
+                    *(
+                        _pad_rows(b[k][sl], pad)
+                        for k in (
+                            "inv0", "adj_atoms", "adj_code", "adj_mask",
+                            "own_bits", "atom_mask", "degree",
+                        )
+                    ),
                     radius=self.radius,
                     fp_size=self.fpSize,
                 )
-                out = out.at[indices[sl]].set(fps)
+                out = out.at[indices[sl]].set(fps[:n])
         return AsyncResult(out)

@@ -201,16 +201,23 @@ def morgan_fingerprints_jax(
     mols: list[Mol], radius: int, fp_size: int, max_atoms: int,
     use_chirality: bool = False,
 ) -> jax.Array:
-    """Fingerprints for a homogeneous bucket of molecules (<= max_atoms)."""
+    """Fingerprints for a homogeneous bucket of molecules (<= max_atoms).
+
+    The batch is zero-padded up to a power of two so steady-state calls
+    reuse compiled kernels instead of compiling one per batch size."""
+    from nvmolkit_tpu.fingerprints import _chunk_pad, _pad_rows
+
     batch = prepare_batch(mols, max_atoms, use_chirality)
-    return morgan_kernel(
-        jnp.asarray(batch["inv0"]),
-        jnp.asarray(batch["adj_atoms"]),
-        jnp.asarray(batch["adj_code"]),
-        jnp.asarray(batch["adj_mask"]),
-        jnp.asarray(batch["own_bits"]),
-        jnp.asarray(batch["atom_mask"]),
-        jnp.asarray(batch["degree"]),
+    pad = _chunk_pad(len(mols))
+    fps = morgan_kernel(
+        *(
+            _pad_rows(batch[k], pad)
+            for k in (
+                "inv0", "adj_atoms", "adj_code", "adj_mask",
+                "own_bits", "atom_mask", "degree",
+            )
+        ),
         radius=radius,
         fp_size=fp_size,
     )
+    return fps[: len(mols)]
