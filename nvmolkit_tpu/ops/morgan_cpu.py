@@ -134,3 +134,76 @@ def morgan_fingerprints_cpu(
     return np.stack(
         [morgan_fingerprint_cpu(m, radius, fp_size, use_chirality) for m in mols]
     )
+
+
+def morgan_atom_invariants_at_radius(
+    mol: Mol, radius: int, fp_size: int = 2048, use_chirality: bool = False
+) -> np.ndarray:
+    """Per-atom Morgan environment invariant at exactly ``radius``,
+    folded to ``fp_size`` (RDKit TorsionFingerprints
+    ``_getAtomInvariantsWithRadius`` counterpart: the bitInfo bit id of
+    each atom's radius-r environment; 0 when the atom's environment was
+    deduplicated away before that round). Used for TFD symmetry
+    detection at ``symmRadius``."""
+    arrays = mol.to_arrays()
+    n = mol.num_atoms
+    inv = atom_invariants(arrays, use_chirality)
+    if radius == 0:
+        return (inv.astype(np.int64) % fp_size).astype(np.uint32)
+
+    adj_bonds = arrays["adj_bonds"]
+    adj_atoms = arrays["adj_atoms"]
+    bond_type = arrays["bond_type"]
+    degree = arrays["degree"]
+
+    neighborhoods: list[set[int]] = [set() for _ in range(n)]
+    dead = [degree[i] == 0 for i in range(n)]
+    seen: list[frozenset[int]] = []
+    out = np.zeros(n, dtype=np.uint32)
+
+    for rnd in range(1, radius + 1):
+        next_inv = inv.copy()
+        round_nbr: list[set[int]] = [set() for _ in range(n)]
+        for i in range(n):
+            if degree[i] == 0:
+                continue
+            pairs = []
+            nbr = set(neighborhoods[i])
+            for k in range(adj_bonds.shape[1]):
+                bi = adj_bonds[i, k]
+                if bi < 0:
+                    break
+                j = adj_atoms[i, k]
+                pairs.append((_bond_code(bond_type[bi]), int(inv[j])))
+                nbr.add(int(bi))
+                nbr |= neighborhoods[j]
+            pairs.sort()
+            seed = _U32(0)
+            seed = hash_combine_u32(seed, _U32(rnd))
+            seed = hash_combine_u32(seed, inv[i])
+            for code, v in pairs:
+                seed = hash_combine_u32(seed, _U32(code))
+                seed = hash_combine_u32(seed, _U32(v))
+            next_inv[i] = seed
+            round_nbr[i] = nbr
+
+        order = sorted(
+            (i for i in range(n) if not dead[i]),
+            key=lambda i: (sorted(round_nbr[i]), int(next_inv[i]), i),
+        )
+        accepted_this_round: list[frozenset[int]] = []
+        accepted_atoms: list[int] = []
+        for i in order:
+            fs = frozenset(round_nbr[i])
+            if fs in seen or fs in accepted_this_round:
+                dead[i] = True
+                continue
+            accepted_this_round.append(fs)
+            accepted_atoms.append(i)
+        seen.extend(accepted_this_round)
+        if rnd == radius:
+            for i in accepted_atoms:
+                out[i] = np.uint32(int(next_inv[i]) % fp_size)
+        inv = next_inv
+        neighborhoods = round_nbr
+    return out

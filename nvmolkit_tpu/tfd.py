@@ -2,7 +2,10 @@
 
 Mirrors the reference's ``nvmolkit/tfd.py:126-195``: ``GetTFDMatrix`` /
 ``GetTFDMatrices`` return condensed lower-triangle TFD values over a
-molecule's conformer pairs (feedable to Butina clustering).
+molecule's conformer pairs (feedable to Butina clustering), with RDKit
+``TorsionFingerprints.GetTFDMatrix`` semantics: Morgan-invariant
+symmetry detection at ``symmRadius``, ring-torsion averaging, and
+central-bond distance weights (see :mod:`nvmolkit_tpu.ops.tfd`).
 """
 from __future__ import annotations
 
@@ -42,12 +45,11 @@ def GetTFDMatrices(
 ) -> list[AsyncResult]:
     """Batched condensed TFD matrices, one per molecule.
 
-    All molecules are padded to common (conformer, torsion) counts and
-    processed in ONE device launch (the reference's work-item CSR
-    batching, ``tfd_common.h:82-107``); per-molecule results are host
-    slices of a single transfer.
+    All molecules are padded to common (conformer, torsion, quartet)
+    counts and processed in ONE device launch (the reference's work-item
+    CSR batching, ``tfd_common.h:82-107``); per-molecule results are
+    host slices of a single transfer.
     """
-    del symmRadius, ignoreColinearBonds  # parity args; see ops/tfd.py notes
     if maxDev not in ("equal", "spec"):
         raise ValueError("maxDev must be 'equal' or 'spec'")
     if not mols:
@@ -57,34 +59,62 @@ def GetTFDMatrices(
     for m in mols:
         if len(m.conformers) < 2:
             raise ValueError("every molecule needs at least 2 conformers")
-        torsion_sets.append(enumerate_torsions(m, use_weights=useWeights, max_dev=maxDev))
+        torsion_sets.append(
+            enumerate_torsions(
+                m,
+                use_weights=useWeights,
+                max_dev=maxDev,
+                symm_radius=symmRadius,
+                ignore_colinear_bonds=ignoreColinearBonds,
+            )
+        )
         n_confs.append(len(m.conformers))
 
     M = len(mols)
     max_atoms = max(m.num_atoms for m in mols)
     c_max = max(n_confs)
-    t_max = max(1, max(ts.quartets.shape[0] for ts in torsion_sets))
+    t_max = max(1, max(ts.n_torsions for ts in torsion_sets))
+    q_max = max(
+        1,
+        max(
+            (int(np.max(np.diff(ts.quartet_starts))) if ts.n_torsions else 1)
+            for ts in torsion_sets
+        ),
+    )
     # round padded dims to bound recompiles across call shapes
     c_max = ((c_max + 3) // 4) * 4
     t_max = ((t_max + 7) // 8) * 8
 
     confs = np.zeros((M, c_max, max_atoms, 3), np.float32)
-    quartets = np.zeros((M, t_max, 4), np.int32)
+    quartets = np.zeros((M, t_max, q_max, 4), np.int32)
+    quartet_mask = np.zeros((M, t_max, q_max), bool)
+    types = np.zeros((M, t_max), np.int32)
     weights = np.zeros((M, t_max), np.float32)  # 0 weight = padded torsion
     max_dev = np.full((M, t_max), 180.0, np.float32)
+    torsion_mask = np.zeros((M, t_max), bool)
     for k, (m, ts) in enumerate(zip(mols, torsion_sets)):
         for c, coords in enumerate(m.conformers):
             confs[k, c, : m.num_atoms] = coords
-        nt = ts.quartets.shape[0]
-        if nt:
-            quartets[k, :nt] = ts.quartets
-            weights[k, :nt] = ts.weights
-            max_dev[k, :nt] = ts.max_dev
+        for t in range(ts.n_torsions):
+            s, e = ts.quartet_starts[t], ts.quartet_starts[t + 1]
+            nq = e - s
+            quartets[k, t, :nq] = ts.quartets[s:e]
+            quartet_mask[k, t, :nq] = True
+            types[k, t] = ts.types[t]
+            weights[k, t] = ts.weights[t]
+            max_dev[k, t] = ts.max_dev[t]
+            torsion_mask[k, t] = True
 
     pair_grid = _pairs(c_max)  # [P_max, 2], shared across molecules
     angles = jax.vmap(dihedral_angles)(jnp.asarray(confs), jnp.asarray(quartets))
-    tfd_all = jax.vmap(tfd_matrix_condensed, in_axes=(0, 0, 0, None))(
-        angles, jnp.asarray(weights), jnp.asarray(max_dev), jnp.asarray(pair_grid)
+    tfd_all = jax.vmap(tfd_matrix_condensed, in_axes=(0, 0, 0, 0, 0, 0, None))(
+        angles,
+        jnp.asarray(quartet_mask),
+        jnp.asarray(types),
+        jnp.asarray(weights),
+        jnp.asarray(max_dev),
+        jnp.asarray(torsion_mask),
+        jnp.asarray(pair_grid),
     )  # [M, P_max]
     tfd_np = np.asarray(tfd_all)  # one transfer
 
@@ -92,7 +122,7 @@ def GetTFDMatrices(
     pair_of = {(int(i), int(j)): p for p, (i, j) in enumerate(pair_grid)}
     for k, (m, ts) in enumerate(zip(mols, torsion_sets)):
         pairs = _pairs(n_confs[k])
-        if ts.quartets.shape[0] == 0:
+        if ts.n_torsions == 0:
             out.append(AsyncResult(np.zeros(len(pairs), np.float32)))
             continue
         vals = np.asarray(

@@ -135,3 +135,141 @@ def test_tfd_bad_maxdev():
     m = _butane_with_dihedrals([0.0, 10.0])
     with pytest.raises(ValueError):
         GetTFDMatrices([m], maxDev="nope")
+
+
+# ---------------------------------------------------------------------------
+# round 2: RDKit-parity TFD semantics (symmetry, rings, weights, colinear)
+# ---------------------------------------------------------------------------
+
+def test_torsion_symmetric_side_all_quartets():
+    from nvmolkit_tpu.ops.tfd import TORSION_SYMMETRIC, enumerate_torsions
+
+    # neopentane-like: C(C)(C)(C)-CC: the tBu side is 3 equivalent methyls
+    m = mol_from_smiles("CC(C)(C)CC")
+    ts = enumerate_torsions(m)
+    # find the torsion around the quaternary-C to CH2 bond
+    widths = np.diff(ts.quartet_starts)
+    assert (widths >= 3).any(), "symmetric side should contribute >= 3 quartets"
+    t = int(np.argmax(widths))
+    assert ts.types[t] == TORSION_SYMMETRIC
+
+
+def test_torsion_ring_enumeration():
+    from nvmolkit_tpu.ops.tfd import TORSION_RING, enumerate_torsions
+
+    m = mol_from_smiles("C1CCCCC1")  # cyclohexane: no rotatable bonds
+    ts = enumerate_torsions(m)
+    assert ts.n_torsions == 1
+    assert ts.types[0] == TORSION_RING
+    # 6 consecutive quartets around the ring
+    assert ts.quartet_starts[1] - ts.quartet_starts[0] == 6
+    # maxDev = 180 * exp(-0.025 * (6-14)^2)
+    assert abs(ts.max_dev[0] - 180.0 * math.exp(-0.025 * 64)) < 1e-3
+
+
+def test_torsion_weights_decay_from_center():
+    from nvmolkit_tpu.ops.tfd import enumerate_torsions
+
+    # linear chain: central bond gets weight 1, terminal bonds decay
+    m = mol_from_smiles("CCCCCCCC")
+    ts = enumerate_torsions(m, use_weights=True)
+    assert ts.n_torsions >= 3
+    w = np.asarray(ts.weights)
+    assert w.max() <= 1.0 + 1e-6
+    assert w.min() < w.max()  # distal torsions weigh less
+
+
+def test_ignore_colinear_bonds():
+    from nvmolkit_tpu.ops.tfd import enumerate_torsions
+
+    m = mol_from_smiles("CC#CC")  # butyne: only colinear candidate bonds
+    ts_skip = enumerate_torsions(m, ignore_colinear_bonds=True)
+    assert ts_skip.n_torsions == 0
+
+
+def test_dihedral_convention_0_360():
+    import jax.numpy as jnp
+    from nvmolkit_tpu.ops.tfd import dihedral_angles
+
+    # Reference convention (tfd_detail.h computeDihedralAngle): the
+    # normals n1 = (p1-p2) x b1 and n2 = b1 x (p4-p3) are ANTI-parallel
+    # for a planar cis quartet, so cis reads 180 and trans reads 0 —
+    # which makes planar ring quartets read 180 (|angle - 180| = 0 in
+    # the Ring averaging rule).
+    cis = np.asarray(
+        [[[-0.5, 1.0, 0.0], [0.0, 0.0, 0.0], [1.5, 0.0, 0.0], [2.0, 1.0, 0.0]]],
+        np.float32,
+    )
+    trans = cis.copy()
+    trans[0, 3] = (2.0, -1.0, 0.0)
+    q = jnp.asarray(np.zeros((1, 1, 4), np.int32))
+    q = q.at[0, 0].set(jnp.asarray([0, 1, 2, 3]))
+    a_cis = float(dihedral_angles(jnp.asarray(cis), q)[0, 0, 0])
+    a_trans = float(dihedral_angles(jnp.asarray(trans), q)[0, 0, 0])
+    assert abs(a_cis - 180.0) < 1e-3
+    assert abs(a_trans) < 1e-3 or abs(a_trans - 360.0) < 1e-3
+    # out-of-plane quartet lands in [0, 360)
+    skew = cis.copy()
+    skew[0, 3] = (2.0, 0.7, 0.7)
+    a_skew = float(dihedral_angles(jnp.asarray(skew), q)[0, 0, 0])
+    assert 0.0 <= a_skew < 360.0 and min(a_skew, 360 - a_skew) > 1.0
+
+
+def test_tfd_symmetric_min_rule():
+    """A 120-degree rotation of a 3-fold symmetric side has TFD ~ 0."""
+    import jax.numpy as jnp
+    from nvmolkit_tpu.ops.tfd import tfd_matrix_condensed
+
+    # synthetic: one symmetric torsion with 3 quartets whose angles are
+    # shifted by 120 degrees between the two conformers
+    angles = np.zeros((2, 1, 3), np.float32)
+    angles[0, 0] = (10.0, 130.0, 250.0)
+    angles[1, 0] = (130.0, 250.0, 10.0)
+    out = tfd_matrix_condensed(
+        jnp.asarray(angles),
+        jnp.asarray(np.ones((1, 3), bool)),
+        jnp.asarray(np.asarray([2], np.int32)),      # Symmetric
+        jnp.asarray(np.ones(1, np.float32)),
+        jnp.asarray(np.full(1, 180.0, np.float32)),
+        jnp.asarray(np.ones(1, bool)),
+        jnp.asarray(np.asarray([[1, 0]], np.int32)),
+    )
+    assert float(out[0]) < 1e-5
+
+
+def test_tfd_ring_average_rule():
+    import jax.numpy as jnp
+    from nvmolkit_tpu.ops.tfd import tfd_matrix_condensed
+
+    angles = np.zeros((2, 1, 2), np.float32)
+    angles[0, 0] = (120.0, 240.0)   # |a-180| = 60, 60 -> avg 60
+    angles[1, 0] = (150.0, 210.0)   # avg 30
+    out = tfd_matrix_condensed(
+        jnp.asarray(angles),
+        jnp.asarray(np.ones((1, 2), bool)),
+        jnp.asarray(np.asarray([1], np.int32)),      # Ring
+        jnp.asarray(np.ones(1, np.float32)),
+        jnp.asarray(np.full(1, 90.0, np.float32)),
+        jnp.asarray(np.ones(1, bool)),
+        jnp.asarray(np.asarray([[1, 0]], np.int32)),
+    )
+    assert abs(float(out[0]) - (60.0 - 30.0) / 90.0) < 1e-5
+
+
+def test_tfd_spec_max_dev():
+    from nvmolkit_tpu.ops.tfd import enumerate_torsions
+
+    # isopropyl side (2 equivalent methyls) in spec mode: maxDev 90
+    m = mol_from_smiles("CC(C)CCO")
+    ts = enumerate_torsions(m, max_dev="spec")
+    assert 90.0 in set(np.asarray(ts.max_dev).tolist())
+
+
+def test_tfd_args_are_honored():
+    """symmRadius and ignoreColinearBonds change results (no longer no-ops)."""
+    from nvmolkit_tpu.ops.tfd import enumerate_torsions
+
+    m = mol_from_smiles("CC#CCC")  # pent-2-yne: walking past the triple bond
+    ts_true = enumerate_torsions(m, ignore_colinear_bonds=True)
+    ts_false = enumerate_torsions(m, ignore_colinear_bonds=False)
+    assert ts_false.n_torsions >= ts_true.n_torsions
