@@ -221,9 +221,7 @@ class _AtomExprParser:
             if c == "R":
                 if v is None:
                     return _leaf("in_ring", 1)
-                if v == 0:
-                    return _leaf("in_ring", 0)
-                return _leaf("in_ring", 1)  # Rn approximated by ring membership
+                return _leaf("ring_count", v)  # SSSR ring-membership count
             if c == "r":
                 if v is None:
                     return _leaf("in_ring", 1)
@@ -379,6 +377,13 @@ def parse_smarts(smarts: str) -> QueryMol:
             if not stack:
                 raise SmartsParseError(f"unmatched ')' at {i}")
             prev = stack.pop()
+            pending = None
+            i += 1
+        elif c == ".":
+            # component separator: the next atom starts a disconnected
+            # fragment (matched independently, combined with whole-query
+            # injectivity by the engines)
+            prev = None
             pending = None
             i += 1
         else:

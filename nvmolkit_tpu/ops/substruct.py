@@ -22,6 +22,7 @@ import dataclasses
 import numpy as np
 
 from nvmolkit_tpu.chem.mol import BondType, Mol
+from nvmolkit_tpu.chem.rings import get_ring_membership_counts
 from nvmolkit_tpu.chem.smarts import AND, LEAF, NOT, OR, Expr, QueryMol
 
 MAX_FRONTIER = 1 << 16
@@ -73,6 +74,7 @@ def featurize_target(mol: Mol) -> TargetFeatures:
         "ring_bonds": ring_bonds,
         "valence": valence + total_hs,
         "isotope": arrays["isotope"],
+        "ring_count": np.asarray(get_ring_membership_counts(mol), np.int32),
     }
     return TargetFeatures(feats=feats, adj_kind=adj_kind, adj_ring=adj_ring, n_atoms=n)
 
@@ -122,11 +124,101 @@ def _bond_ok_matrix(qbond, tf: TargetFeatures) -> np.ndarray:
     return cond
 
 
+def split_components(query: QueryMol) -> list[tuple[QueryMol, list[int]]]:
+    """Connected components of a query as (sub_query, original_atom_ids).
+
+    Disconnected SMARTS ('.'-separated parts, or recursive fragments)
+    match each component independently; the driver combines them with
+    whole-query injectivity (the reference handles component-split
+    queries; RDKit maps every query atom to a distinct target atom)."""
+    nq = query.num_atoms
+    comp = [-1] * nq
+    n_comp = 0
+    for seed in range(nq):
+        if comp[seed] >= 0:
+            continue
+        stack = [seed]
+        comp[seed] = n_comp
+        while stack:
+            u = stack.pop()
+            for v, _bi in query.neighbors(u):
+                if comp[v] < 0:
+                    comp[v] = n_comp
+                    stack.append(v)
+        n_comp += 1
+    if n_comp <= 1:
+        return [(query, list(range(nq)))]
+    out = []
+    for c in range(n_comp):
+        atom_ids = [i for i in range(nq) if comp[i] == c]
+        remap = {a: k for k, a in enumerate(atom_ids)}
+        sub_atoms = [query.atoms[a] for a in atom_ids]
+        sub_bonds = [
+            dataclasses.replace(b, begin=remap[b.begin], end=remap[b.end])
+            for b in query.bonds
+            if comp[b.begin] == c
+        ]
+        out.append((QueryMol(sub_atoms, sub_bonds, smarts=query.smarts), atom_ids))
+    return out
+
+
+def _match_components(
+    matcher, query: QueryMol, tf: TargetFeatures, max_matches: int, uniquify: bool
+) -> tuple[np.ndarray, bool]:
+    """Match a disconnected query: per-component matches combined as a
+    cartesian product filtered for whole-query injectivity."""
+    parts = split_components(query)
+    nq = query.num_atoms
+    per_comp = []
+    overflow = False
+    for sub, atom_ids in parts:
+        m, over = matcher(sub, tf, max_matches=MAX_FRONTIER, uniquify=False)
+        overflow |= over
+        if m.shape[0] == 0:
+            return np.zeros((0, nq), np.int32), overflow
+        per_comp.append((m, atom_ids))
+
+    rows = np.zeros((1, nq), np.int32)
+    used: np.ndarray = np.zeros((1, tf.n_atoms), bool)
+    for m, atom_ids in per_comp:
+        P, K = rows.shape[0], m.shape[0]
+        # pairwise disjointness between accumulated rows and candidates
+        cand_used = np.zeros((K, tf.n_atoms), bool)
+        cand_used[np.arange(K)[:, None], m] = True
+        ok = ~np.einsum("pa,ka->pk", used, cand_used, optimize=True).astype(bool)
+        p_idx, k_idx = np.nonzero(ok)
+        if len(p_idx) > MAX_FRONTIER:
+            p_idx, k_idx = p_idx[:MAX_FRONTIER], k_idx[:MAX_FRONTIER]
+            overflow = True
+        new_rows = rows[p_idx]
+        new_rows[:, atom_ids] = m[k_idx]
+        used = used[p_idx] | cand_used[k_idx]
+        rows = new_rows
+
+    if uniquify and len(rows):
+        seen: set[frozenset] = set()
+        keep = []
+        for r, row in enumerate(rows):
+            key = frozenset(row.tolist())
+            if key not in seen:
+                seen.add(key)
+                keep.append(r)
+        rows = rows[keep]
+    if len(rows) > max_matches:
+        rows = rows[:max_matches]
+        overflow = True
+    return rows.astype(np.int32), overflow
+
+
+def _is_connected(query: QueryMol) -> bool:
+    return len(split_components(query)) == 1
+
+
 def _bfs_order(query: QueryMol, labels: np.ndarray) -> list[tuple[int, list[tuple[int, int]]]]:
     """Query traversal order: (query_atom, [(placed_slot, bond_idx)]).
 
     Starts at the atom with fewest candidates; assumes a connected
-    query (disconnected SMARTS raise)."""
+    query (callers split disconnected SMARTS into components)."""
     nq = query.num_atoms
     counts = labels.sum(axis=0)
     start = int(np.argmin(counts))
@@ -169,6 +261,8 @@ def find_matches(
     semantics).
     """
     nq = query.num_atoms
+    if not _is_connected(query):
+        return _match_components(find_matches, query, tf, max_matches, uniquify)
     labels = label_matrix(query, tf)
     if labels.size == 0 or not labels.any():
         return np.zeros((0, nq), np.int32), False
@@ -233,6 +327,8 @@ def find_matches_vf2(
     early-exit `hasSubstructMatch` queries (depth-first finds the first
     match without building a frontier)."""
     nq = query.num_atoms
+    if not _is_connected(query):
+        return _match_components(find_matches_vf2, query, tf, max_matches, uniquify)
     labels = label_matrix(query, tf)
     if labels.size == 0 or not labels.any():
         return np.zeros((0, nq), np.int32), False

@@ -33,9 +33,10 @@ class SubstructAlgorithm(enum.Enum):
 class SubstructSearchConfig:
     """Mirror of the reference config (``substruct_results.h:36-43``).
 
-    Threading fields are accepted for parity; the numpy join is
-    single-process (the batching knobs become meaningful once the join
-    moves on-device)."""
+    ``workerThreads`` sizes the native C++ matcher's thread pool
+    (-1/0 = all cores); ``useNativeEngine=False`` forces the Python
+    reference engine (also the automatic fallback when the native
+    library cannot be built)."""
 
     batchSize: int = 1024
     workerThreads: int = -1
@@ -45,6 +46,7 @@ class SubstructSearchConfig:
     maxMatches: int = 10000
     uniquify: bool = True
     algorithm: SubstructAlgorithm = SubstructAlgorithm.GSI
+    useNativeEngine: bool = True
 
 
 @dataclasses.dataclass
@@ -96,6 +98,41 @@ def getSubstructMatches(
     qmols = [_as_query(q) for q in queries]
     tfs = [featurize_target(t) for t in targets]
 
+    from nvmolkit_tpu.chem.native_substruct import (
+        native_substruct_available,
+        native_substruct_search,
+    )
+    from nvmolkit_tpu.ops.substruct import _is_connected
+
+    use_native = (
+        cfg.useNativeEngine
+        and cfg.algorithm == SubstructAlgorithm.GSI
+        and native_substruct_available()
+    )
+
+    native_matches = None
+    native_overflowed: set[tuple[int, int]] = set()
+    if use_native:
+        # disconnected queries go through the Python component combiner
+        connected_ids = [qi for qi, q in enumerate(qmols) if _is_connected(q)]
+        if connected_ids:
+            nm, nover = native_substruct_search(
+                tfs,
+                [qmols[qi] for qi in connected_ids],
+                max_matches=cfg.maxMatches,
+                uniquify=cfg.uniquify,
+                n_threads=max(0, cfg.workerThreads),
+            )
+            native_matches = {}
+            for ti in range(len(tfs)):
+                for k, qi in enumerate(connected_ids):
+                    native_matches[(ti, qi)] = nm[ti][k]
+            native_overflowed = {
+                (ti, connected_ids[k]) for (ti, k) in nover
+            }
+        else:
+            native_matches = {}
+
     atom_indices: list[np.ndarray] = []
     match_indptr = [0]
     pair_indptr = [0]
@@ -106,9 +143,13 @@ def getSubstructMatches(
     )
     for ti, tf in enumerate(tfs):
         for qi, q in enumerate(qmols):
-            m, over = matcher(
-                q, tf, max_matches=cfg.maxMatches, uniquify=cfg.uniquify
-            )
+            if native_matches is not None and (ti, qi) in native_matches:
+                m = native_matches[(ti, qi)]
+                over = (ti, qi) in native_overflowed
+            else:
+                m, over = matcher(
+                    q, tf, max_matches=cfg.maxMatches, uniquify=cfg.uniquify
+                )
             if over:
                 overflowed.append((ti, qi))
             for row in m:

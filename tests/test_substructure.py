@@ -161,3 +161,100 @@ def test_vf2_matches_gsi(mols100):
             assert sorted(map(frozenset, gsi.matches(ti, qi))) == sorted(
                 map(frozenset, vf2.matches(ti, qi))
             )
+
+
+# ---------------------------------------------------------------------------
+# round 2: native C++ engine, SSSR R<n>, disconnected SMARTS
+# ---------------------------------------------------------------------------
+
+def test_rn_ring_membership_counts():
+    from nvmolkit_tpu.chem.smarts import parse_smarts
+    from nvmolkit_tpu.ops.substruct import featurize_target, find_matches
+
+    naph = mol_from_smiles("c1ccc2ccccc2c1")
+    tf = featurize_target(naph)
+    # fusion atoms are in exactly 2 SSSR rings
+    m2, _ = find_matches(parse_smarts("[R2]"), tf)
+    assert len(m2) == 2
+    m1, _ = find_matches(parse_smarts("[R1]"), tf)
+    assert len(m1) == 8
+    # R0 on a chain atom
+    tol = mol_from_smiles("Cc1ccccc1")
+    tf2 = featurize_target(tol)
+    m0, _ = find_matches(parse_smarts("[R0]"), tf2)
+    assert {int(r[0]) for r in m0} == {0}
+
+
+def test_disconnected_smarts_components():
+    from nvmolkit_tpu.chem.smarts import parse_smarts
+    from nvmolkit_tpu.ops.substruct import featurize_target, find_matches
+
+    m = mol_from_smiles("OCCN")
+    tf = featurize_target(m)
+    # two disconnected single atoms: O and N
+    matches, over = find_matches(parse_smarts("[OX2H1].[NX3]"), tf)
+    assert not over
+    assert {tuple(r) for r in matches.tolist()} == {(0, 3)}
+    # components must map to distinct atoms: O.O on a single-oxygen mol
+    none, _ = find_matches(parse_smarts("[#8].[#8]"), tf)
+    assert len(none) == 0
+    # two oxygens -> both orderings collapse under uniquify
+    m2 = mol_from_smiles("OCCO")
+    both, _ = find_matches(parse_smarts("[#8].[#8]"), featurize_target(m2))
+    assert {frozenset(r) for r in both.tolist()} == {frozenset((0, 3))}
+
+
+def test_native_engine_available_and_used():
+    from nvmolkit_tpu.chem.native_substruct import native_substruct_available
+
+    assert native_substruct_available()
+    res = getSubstructMatches(
+        [mol_from_smiles("CC(=O)NC")], ["[NX3;!$(NC=O)]"],
+    )
+    assert res.counts().sum() == 0  # amide N excluded by recursive SMARTS
+
+
+def test_native_vs_python_vs_vf2_randomized_sweep():
+    """Randomized SMARTS x target cross-validation of all three engines
+    (the reference's GSI-vs-RDKit validation, testutils/substruct_validation)."""
+    import itertools
+    from nvmolkit_tpu.chem.smarts import parse_smarts
+    from nvmolkit_tpu.chem.native_substruct import native_substruct_search
+    from nvmolkit_tpu.ops.substruct import (
+        featurize_target, find_matches, find_matches_vf2,
+    )
+    from tests.data.smiles import SMILES_100
+
+    queries = [
+        "c1ccccc1", "[CX3](=O)[OX2H1]", "[CX3](=O)[NX3]", "[OX2H1]",
+        "[NX3;!$(NC=O)]", "C(F)(F)F", "[R1]", "[R2]", "[r6]", "[x2]",
+        "[$([CX4][OX2H1])]", "c1ccncc1", "[#6;!R]", "[SX2]",
+        "[CH3][CH2]", "[c;$(c1ccccc1)]", "O=C", "[!#6;!#1]",
+    ]
+    targets = [mol_from_smiles(s) for s in SMILES_100[:40]]
+    qmols = [parse_smarts(q) for q in queries]
+    tfs = [featurize_target(t) for t in targets]
+    nm, _ = native_substruct_search(tfs, qmols, 10000, True, 1)
+    for (ti, tf), (qi, q) in itertools.product(enumerate(tfs), enumerate(qmols)):
+        s_py = {tuple(r) for r in find_matches(q, tf)[0].tolist()}
+        s_vf = {tuple(r) for r in find_matches_vf2(q, tf)[0].tolist()}
+        s_na = {tuple(r) for r in nm[ti][qi].tolist()}
+        assert s_py == s_vf == s_na, (queries[qi], ti)
+
+
+def test_worker_threads_config_changes_nothing_semantically():
+    mols = [mol_from_smiles(s) for s in ("CCO", "c1ccccc1C(=O)O", "CCN")]
+    q = ["O=C", "[OX2H1]"]
+    r1 = getSubstructMatches(mols, q, SubstructSearchConfig(workerThreads=1))
+    r2 = getSubstructMatches(mols, q, SubstructSearchConfig(workerThreads=4))
+    assert (r1.counts() == r2.counts()).all()
+
+
+def test_python_engine_fallback_flag():
+    mols = [mol_from_smiles("c1ccccc1O")]
+    q = ["[OX2H1]"]
+    r_native = getSubstructMatches(mols, q)
+    r_python = getSubstructMatches(
+        mols, q, SubstructSearchConfig(useNativeEngine=False)
+    )
+    assert (r_native.counts() == r_python.counts()).all()
