@@ -15,7 +15,11 @@ from nvmolkit_tpu.autotune._core import (
 )
 from nvmolkit_tpu.autotune._persistence import load_options, save_options
 from nvmolkit_tpu.autotune.wrappers import (
+    tune_batched_forcefield,
     tune_cross_similarity,
+    tune_embed_molecules,
+    tune_mmff_optimize,
+    tune_substructure,
     tune_uff_optimize,
 )
 
@@ -26,6 +30,10 @@ __all__ = [
     "run_study",
     "save_options",
     "load_options",
+    "tune_batched_forcefield",
     "tune_cross_similarity",
+    "tune_embed_molecules",
+    "tune_mmff_optimize",
+    "tune_substructure",
     "tune_uff_optimize",
 ]

@@ -90,16 +90,19 @@ class MorganFingerprintGenerator:
         opts = hardwareOptions or HardwareOptions()
         buckets = opts.atomBuckets
         order: dict[int, list[int]] = {}
+        fallback: list[int] = []
         for idx, mol in enumerate(mols):
             na = mol.num_atoms
+            if na > buckets[-1] or any(mol.degree(i) > 8 for i in range(na)):
+                # beyond accelerator limits (>largest bucket atoms or >8
+                # bonds/atom): CPU fallback, the reference's RDKit-CPU
+                # drain (nvmolkit/fingerprints.py:83)
+                fallback.append(idx)
+                continue
             for b in buckets:
                 if na <= b:
                     order.setdefault(b, []).append(idx)
                     break
-            else:
-                raise ValueError(
-                    f"molecule {idx} has {na} atoms, exceeding the largest bucket {buckets[-1]}"
-                )
 
         out = jnp.zeros((len(mols), self.fpSize // 32), dtype=jnp.uint32)
         for bucket, indices in sorted(order.items()):
@@ -110,6 +113,18 @@ class MorganFingerprintGenerator:
                     use_chirality=self.useChirality,
                 )
                 out = out.at[np.asarray(chunk, dtype=np.int32)].set(fps)
+        if fallback:
+            from nvmolkit_tpu.ops.morgan_cpu import morgan_fingerprint_cpu_unbounded
+
+            rows = np.stack(
+                [
+                    morgan_fingerprint_cpu_unbounded(
+                        mols[i], self.radius, self.fpSize, self.useChirality
+                    )
+                    for i in fallback
+                ]
+            )
+            out = out.at[np.asarray(fallback, np.int32)].set(jnp.asarray(rows))
         return AsyncResult(out)
 
     def GetFingerprintsFromSmiles(

@@ -28,27 +28,86 @@ def MMFFOptimizeMoleculesConfs(
     (not_converged, energy)`` (0 = converged). Parametrization comes
     from ``provider`` (default: RDKit when importable, else the
     documented approximate provider — see models/mmff/providers.py).
+    ``properties`` may be one MMFFProperties or a per-molecule list
+    (reference behavior, ``nvmolkit/mmffOptimization.py:145-196``);
+    molecules sharing a properties signature run in one batch.
     """
     del ignoreInterfragInteractions
     if isinstance(properties, list):
-        raise NotImplementedError(
-            "per-molecule MMFFProperties lists are not supported yet; pass one"
+        if len(properties) != len(molecules):
+            raise ValueError(
+                f"properties list length {len(properties)} != "
+                f"molecule count {len(molecules)}"
+            )
+        per_mol = [p or MMFFProperties(nonBondedThreshold=nonBondedThreshold)
+                   for p in properties]
+    else:
+        props = properties or MMFFProperties(nonBondedThreshold=nonBondedThreshold)
+        per_mol = [props] * len(molecules)
+
+    # group molecules by properties signature; one optimize pass each
+    groups: dict[tuple, list[int]] = {}
+    for mi, p in enumerate(per_mol):
+        key = tuple(sorted(vars(p).items()))
+        groups.setdefault(key, []).append(mi)
+
+    results: list = [None] * len(molecules)
+    dense_parts: list = []
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    for _key, mol_ids in groups.items():
+        props = per_mol[mol_ids[0]]
+        group_mols = [molecules[i] for i in mol_ids]
+
+        def make_batch(mols, max_atoms, _props=props):
+            return make_batched_mmff(mols, max_atoms, _props, provider=provider)
+
+        energies, statuses, dense = optimize_molecules_confs(
+            group_mols,
+            make_batch,
+            mmff_energy_and_grad,
+            max_iters=maxIters,
+            hardware_options=hardwareOptions,
+            backend=backend,
         )
-    props = properties or MMFFProperties(nonBondedThreshold=nonBondedThreshold)
+        for g, mi in enumerate(mol_ids):
+            results[mi] = [
+                (statuses[g][c], energies[g][c])
+                for c in range(len(molecules[mi].conformers))
+            ]
+        dense_parts.append((mol_ids, dense))
 
-    def make_batch(mols, max_atoms):
-        return make_batched_mmff(mols, max_atoms, props, provider=provider)
+    if len(dense_parts) == 1:
+        return results, dense_parts[0][1]
 
-    energies, statuses, dense = optimize_molecules_confs(
-        molecules,
-        make_batch,
-        mmff_energy_and_grad,
-        max_iters=maxIters,
-        hardware_options=hardwareOptions,
-        backend=backend,
+    # merge group Dense3DResults back into input order
+    max_confs = max(len(m.conformers) for m in molecules)
+    max_atoms = max(int(d.positions.shape[2]) for _, d in dense_parts)
+    n = len(molecules)
+    pos = np.zeros((n, max_confs, max_atoms, 3), np.float32)
+    conf_mask = np.zeros((n, max_confs), bool)
+    atom_mask = np.zeros((n, max_atoms), bool)
+    e_out = np.zeros((n, max_confs), np.float32)
+    conv = np.zeros((n, max_confs), bool)
+    for mol_ids, d in dense_parts:
+        dp = np.asarray(d.positions)
+        for g, mi in enumerate(mol_ids):
+            c = int(np.asarray(d.conf_mask)[g].sum())
+            a = dp.shape[2]
+            pos[mi, :c, :a] = dp[g, :c]
+            conf_mask[mi, :c] = True
+            atom_mask[mi, : molecules[mi].num_atoms] = True
+            e_out[mi, :c] = np.asarray(d.energies)[g, :c]
+            conv[mi, :c] = np.asarray(d.converged)[g, :c]
+    from nvmolkit_tpu.types import Dense3DResult
+
+    dense = Dense3DResult(
+        positions=jnp.asarray(pos),
+        conf_mask=jnp.asarray(conf_mask),
+        atom_mask=jnp.asarray(atom_mask),
+        energies=jnp.asarray(e_out),
+        converged=jnp.asarray(conv),
     )
-    results = [
-        [(statuses[m][c], energies[m][c]) for c in range(len(molecules[m].conformers))]
-        for m in range(len(molecules))
-    ]
     return results, dense

@@ -207,3 +207,73 @@ def morgan_atom_invariants_at_radius(
         inv = next_inv
         neighborhoods = round_nbr
     return out
+
+
+def morgan_fingerprint_cpu_unbounded(
+    mol: Mol, radius: int, fp_size: int, use_chirality: bool = False
+) -> np.ndarray:
+    """CPU fallback without the 8-bonds-per-atom / atom-count caps.
+
+    The accelerator path buckets molecules (max 256 atoms) and caps
+    per-atom adjacency at 8 like the reference GPU kernel
+    (``src/morgan_fingerprint_common.h:28``); molecules beyond either
+    limit fall back here (the reference falls back to RDKit CPU,
+    ``nvmolkit/fingerprints.py:83``). Same algorithm, adjacency built
+    directly from the bond list with no cap."""
+    arrays = mol.to_arrays()
+    n = mol.num_atoms
+    inv = atom_invariants(arrays, use_chirality)
+    bits = np.zeros(fp_size, dtype=np.uint8)
+    for i in range(n):
+        bits[int(inv[i]) % fp_size] = 1
+
+    # uncapped adjacency
+    adj: list[list[tuple[int, int]]] = [[] for _ in range(n)]  # (bond, nbr)
+    for bi, b in enumerate(mol.bonds):
+        adj[b.begin].append((bi, b.end))
+        adj[b.end].append((bi, b.begin))
+    bond_type = arrays["bond_type"]
+
+    neighborhoods: list[set[int]] = [set() for _ in range(n)]
+    dead = [len(adj[i]) == 0 for i in range(n)]
+    seen: list[frozenset[int]] = []
+
+    for rnd in range(1, radius + 1):
+        next_inv = inv.copy()
+        round_nbr: list[set[int]] = [set() for _ in range(n)]
+        for i in range(n):
+            if not adj[i]:
+                continue
+            pairs = []
+            nbr = set(neighborhoods[i])
+            for bi, j in adj[i]:
+                pairs.append((_bond_code(bond_type[bi]), int(inv[j])))
+                nbr.add(bi)
+                nbr |= neighborhoods[j]
+            pairs.sort()
+            seed = _U32(0)
+            seed = hash_combine_u32(seed, _U32(rnd))
+            seed = hash_combine_u32(seed, inv[i])
+            for code, v in pairs:
+                seed = hash_combine_u32(seed, _U32(code))
+                seed = hash_combine_u32(seed, _U32(v))
+            next_inv[i] = seed
+            round_nbr[i] = nbr
+
+        order = sorted(
+            (i for i in range(n) if not dead[i]),
+            key=lambda i: (sorted(round_nbr[i]), int(next_inv[i]), i),
+        )
+        accepted: list[frozenset[int]] = []
+        for i in order:
+            fs = frozenset(round_nbr[i])
+            if fs in seen or fs in accepted:
+                dead[i] = True
+                continue
+            accepted.append(fs)
+            bits[int(next_inv[i]) % fp_size] = 1
+        seen.extend(accepted)
+        inv = next_inv
+        neighborhoods = round_nbr
+
+    return pack_bits_np(bits)

@@ -117,3 +117,49 @@ def test_persistence_substruct_enum_roundtrip(tmp_path):
     save_options(p, cfg)
     back = load_options(p)
     assert back.algorithm == SubstructAlgorithm.VF2
+
+
+def test_all_five_workload_wrappers_smoke():
+    """Every reference tune_* wrapper has a counterpart that runs and
+    returns a usable best_params (persistence round-trip included)."""
+    import tempfile
+    from pathlib import Path
+
+
+    from nvmolkit_tpu.autotune import (
+        save_options,
+        load_options,
+        tune_batched_forcefield,
+        tune_embed_molecules,
+        tune_mmff_optimize,
+        tune_substructure,
+    )
+    from nvmolkit_tpu.chem import mol_from_smiles
+    from nvmolkit_tpu.embedMolecules import EmbedMolecules
+
+    mols = [mol_from_smiles(s) for s in ("CCO", "CCCN")]
+    EmbedMolecules(mols, confsPerMolecule=2, maxIterations=10)
+
+    r_mmff = tune_mmff_optimize(mols, n_trials=2, max_iters=20)
+    assert "atomBuckets" in r_mmff.best_params and "backend" in r_mmff.best_params
+
+    r_bff = tune_batched_forcefield(mols, n_trials=2, max_iters=20)
+    assert "atomBuckets" in r_bff.best_params
+
+    r_embed = tune_embed_molecules(mols, n_trials=2, confs_per_molecule=1,
+                                   max_iterations=3)
+    assert "atomBuckets" in r_embed.best_params
+    # tuning must not clobber the caller's conformers
+    assert all(len(m.conformers) == 2 for m in mols)
+
+    r_sub = tune_substructure(mols, ["[OX2H1]", "C"], n_trials=2)
+    assert "workerThreads" in r_sub.best_params
+
+    with tempfile.TemporaryDirectory() as d:
+        from nvmolkit_tpu.utils.config import HardwareOptions
+
+        path = Path(d) / "opts.json"
+        tuned = HardwareOptions(atomBuckets=r_mmff.best_params["atomBuckets"])
+        save_options(path, tuned)
+        loaded = load_options(path)
+        assert tuple(loaded.atomBuckets) == tuple(tuned.atomBuckets)

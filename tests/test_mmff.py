@@ -223,3 +223,54 @@ def test_term_toggles():
 def test_bad_variant():
     with pytest.raises(ValueError):
         MMFFProperties(mmffVariant="MMFF2000")
+
+
+def test_per_molecule_properties_list():
+    """Per-molecule MMFFProperties lists (reference
+    nvmolkit/mmffOptimization.py:145-196) group by signature."""
+    from nvmolkit_tpu.chem import mol_from_smiles
+    from nvmolkit_tpu.embedMolecules import EmbedMolecules
+    from nvmolkit_tpu.mmffOptimization import MMFFOptimizeMoleculesConfs
+    from nvmolkit_tpu.models.mmff import MMFFProperties
+    import numpy as np
+    import pytest
+
+    mols = [mol_from_smiles(s) for s in ("CCO", "CCCO", "CCN")]
+    EmbedMolecules(mols, confsPerMolecule=2, maxIterations=10)
+    props = [
+        MMFFProperties(),
+        MMFFProperties(eleTerm=False),
+        MMFFProperties(),
+    ]
+    results, dense = MMFFOptimizeMoleculesConfs(mols, maxIters=100, properties=props)
+    assert len(results) == 3
+    for mi, m in enumerate(mols):
+        assert len(results[mi]) == len(m.conformers)
+        for status, e in results[mi]:
+            assert status in (0, 1) and np.isfinite(e)
+    # mismatched length raises
+    with pytest.raises(ValueError):
+        MMFFOptimizeMoleculesConfs(mols, properties=[MMFFProperties()])
+
+
+def test_morgan_oversized_fallback():
+    """Molecules beyond the largest bucket use the CPU fallback path."""
+    from nvmolkit_tpu.chem import mol_from_smiles
+    from nvmolkit_tpu.fingerprints import MorganFingerprintGenerator
+    import numpy as np
+
+    big = mol_from_smiles("C" * 300)  # 300-atom chain > 256 bucket
+    small = mol_from_smiles("CCO")
+    gen = MorganFingerprintGenerator(radius=2, fpSize=1024)
+    fps = gen.GetFingerprints([small, big]).numpy()
+    assert fps.shape == (2, 32)
+    assert fps[1].any()
+    # fallback result must agree with the CPU oracle
+    from nvmolkit_tpu.ops.morgan_cpu import (
+        morgan_fingerprint_cpu,
+        morgan_fingerprint_cpu_unbounded,
+    )
+    assert (
+        morgan_fingerprint_cpu_unbounded(small, 2, 1024)
+        == morgan_fingerprint_cpu(small, 2, 1024)
+    ).all()
