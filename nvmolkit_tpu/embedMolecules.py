@@ -139,6 +139,7 @@ def EmbedMolecules(
         _embed_bucket(
             molecules, mol_ids, bucket, confsPerMolecule, maxIterations,
             params, sub, out_pos, out_conf_mask, fail, torsionProvider, timer,
+            opts,
         )
     if timer is not None:
         print(timer.report())
@@ -173,6 +174,7 @@ def EmbedMolecules(
 def _embed_bucket(
     molecules, mol_ids, bucket, confs_per_mol, max_iterations, params, key,
     out_pos, out_conf_mask, fail, torsion_provider=None, timer=None,
+    opts=None,
 ):
     import contextlib
 
@@ -180,6 +182,11 @@ def _embed_bucket(
         return timer.stage(name) if timer is not None else contextlib.nullcontext()
     A = bucket
     M = len(mol_ids)
+
+    from nvmolkit_tpu.parallel.distributed import resolve_devices
+
+    devices = resolve_devices(opts.deviceIds if opts is not None else [])
+    multi = len(devices) > 1
 
     # host: bounds + chiral sets + double-bond check data per unique molecule
     from nvmolkit_tpu.chem.stereo import (
@@ -315,36 +322,58 @@ def _embed_bucket(
             cd_ub[k, p] = ub_np[k, a, b]
             cd_mask[k, p] = True
 
-    # expand unique molecules -> (mol, conf) systems
+    # expand unique molecules -> (mol, conf) systems; with multiple
+    # devices the system axis is padded to the device count and every
+    # per-system array is row-sharded over the 'mols' mesh axis (the
+    # reference's multi-GPU batch assignment, hardware_options.h:26-36)
     sys_mol = np.repeat(np.arange(M), confs_per_mol)       # [S]
     S = len(sys_mol)
     needed = np.ones(S, bool) & consistent[sys_mol]
+    if multi and S % len(devices):
+        n_pad = len(devices) - S % len(devices)
+        sys_mol = np.concatenate([sys_mol, np.zeros(n_pad, sys_mol.dtype)])
+        needed = np.concatenate([needed, np.zeros(n_pad, bool)])
+        S += n_pad
 
-    ub_s = jnp.asarray(ub_np[sys_mol])
-    lb_s = jnp.asarray(lb_np[sys_mol])
-    am_s = jnp.asarray(atom_mask[sys_mol])
+    if multi:
+        import jax as _jax
+        from jax.sharding import NamedSharding, PartitionSpec as _P
+
+        from nvmolkit_tpu.parallel.mesh import MOL_AXIS, data_parallel_mesh
+
+        _mesh = data_parallel_mesh(devices)
+
+        def _put(x):
+            spec = _P(MOL_AXIS, *([None] * (x.ndim - 1)))
+            return _jax.device_put(x, NamedSharding(_mesh, spec))
+    else:
+        _put = jnp.asarray
+
+    ub_s = _put(ub_np[sys_mol])
+    lb_s = _put(lb_np[sys_mol])
+    am_s = _put(atom_mask[sys_mol])
     pair_mask = (
-        jnp.asarray(atom_mask[sys_mol])[:, :, None]
-        & jnp.asarray(atom_mask[sys_mol])[:, None, :]
+        am_s[:, :, None]
+        & am_s[:, None, :]
         & jnp.triu(jnp.ones((A, A), bool), 1)[None]
     )
     ub2 = ub_s * ub_s
     lb2 = lb_s * lb_s
-    ci_s = jnp.asarray(chiral_idx[sys_mol])
-    clb_s = jnp.asarray(chiral_lb[sys_mol])
-    cub_s = jnp.asarray(chiral_ub[sys_mol])
-    cm_s = jnp.asarray(chiral_mask[sys_mol])
-    ti_s = jnp.asarray(tetra_idx[sys_mol])
-    tm_s = jnp.asarray(tetra_mask[sys_mol])
-    dbe_i_s = jnp.asarray(dbe_idx[sys_mol])
-    dbe_m_s = jnp.asarray(dbe_mask[sys_mol])
-    sdb_i_s = jnp.asarray(sdb_idx[sys_mol])
-    sdb_sg_s = jnp.asarray(sdb_sign[sys_mol])
-    sdb_m_s = jnp.asarray(sdb_mask[sys_mol])
-    cd_i_s = jnp.asarray(cd_idx[sys_mol])
-    cd_lb_s = jnp.asarray(cd_lb[sys_mol])
-    cd_ub_s = jnp.asarray(cd_ub[sys_mol])
-    cd_m_s = jnp.asarray(cd_mask[sys_mol])
+    ci_s = _put(chiral_idx[sys_mol])
+    clb_s = _put(chiral_lb[sys_mol])
+    cub_s = _put(chiral_ub[sys_mol])
+    cm_s = _put(chiral_mask[sys_mol])
+    ti_s = _put(tetra_idx[sys_mol])
+    tm_s = _put(tetra_mask[sys_mol])
+    dbe_i_s = _put(dbe_idx[sys_mol])
+    dbe_m_s = _put(dbe_mask[sys_mol])
+    sdb_i_s = _put(sdb_idx[sys_mol])
+    sdb_sg_s = _put(sdb_sign[sys_mol])
+    sdb_m_s = _put(sdb_mask[sys_mol])
+    cd_i_s = _put(cd_idx[sys_mol])
+    cd_lb_s = _put(cd_lb[sys_mol])
+    cd_ub_s = _put(cd_ub[sys_mol])
+    cd_m_s = _put(cd_mask[sys_mol])
 
     from nvmolkit_tpu.models.dist_geom import dg_eg
 
@@ -374,7 +403,7 @@ def _embed_bucket(
         tp = torsion_provider if params.useExpTorsionAnglePrefs else None
         etk_host = [build_etk_terms(molecules[mi], tp) for mi in mol_ids]
         etk_pad = pad_etk_batch(etk_host)
-        etk_batch = {k: jnp.asarray(v[sys_mol]) for k, v in etk_pad.items()}
+        etk_batch = {k: _put(v[sys_mol]) for k, v in etk_pad.items()}
         args_etk = {
             "ub2": ub2, "lb2": lb2, "pair_mask": pair_mask, "etk": etk_batch,
             "atom_mask": am_s, "bounds_weight": jnp.float32(1.0),

@@ -38,12 +38,24 @@ def _chunk_pad(n: int) -> int:
     return min(p, _MORGAN_CHUNK)
 
 
-def _pad_rows(x, target: int):
-    """Zero-pad the leading axis to ``target`` rows and move to device."""
-    if x.shape[0] == target:
-        return jnp.asarray(x)
-    pad = np.zeros((target - x.shape[0],) + x.shape[1:], dtype=x.dtype)
-    return jnp.asarray(np.concatenate([x, pad], axis=0))
+def _pad_rows(x, target: int, devices=None):
+    """Zero-pad the leading axis to ``target`` rows and move to device(s).
+
+    With multiple devices the rows are sharded over the 'mols' mesh axis
+    (power-of-two padding keeps the axis divisible by any 2^k mesh)."""
+    if x.shape[0] != target:
+        pad = np.zeros((target - x.shape[0],) + x.shape[1:], dtype=x.dtype)
+        x = np.concatenate([x, pad], axis=0)
+    if devices is not None and len(devices) > 1:
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from nvmolkit_tpu.parallel.mesh import MOL_AXIS, data_parallel_mesh
+
+        mesh = data_parallel_mesh(devices)
+        spec = P(MOL_AXIS, *([None] * (x.ndim - 1)))
+        return jax.device_put(np.asarray(x), NamedSharding(mesh, spec))
+    return jnp.asarray(x)
 
 
 def unpack_fingerprint(fp) -> np.ndarray:
@@ -153,6 +165,9 @@ class MorganFingerprintGenerator:
             use_chirality=self.useChirality,
         )
         out = jnp.zeros((len(smiles), self.fpSize // 32), dtype=jnp.uint32)
+        from nvmolkit_tpu.parallel.distributed import resolve_devices
+
+        devices = resolve_devices(opts.deviceIds) if opts.deviceIds else None
         for bucket, (indices, b) in sorted(batches.items()):
             for start in range(0, len(indices), _MORGAN_CHUNK):
                 sl = slice(start, start + _MORGAN_CHUNK)
@@ -160,7 +175,7 @@ class MorganFingerprintGenerator:
                 pad = _chunk_pad(n)
                 fps = morgan_kernel(
                     *(
-                        _pad_rows(b[k][sl], pad)
+                        _pad_rows(b[k][sl], pad, devices)
                         for k in (
                             "inv0", "adj_atoms", "adj_code", "adj_mask",
                             "own_bits", "atom_mask", "degree",

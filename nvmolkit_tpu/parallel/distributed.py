@@ -89,3 +89,26 @@ def distributed_minimize(
         energy_and_grad_fn, pos_sh, batch_sh.atom_mask,
         max_iters=max_iters, grad_tol=grad_tol, energy_args=batch_sh,
     )
+
+
+def shard_rows_pytree(tree, devices, n_rows: int):
+    """device_put every array leaf whose leading axis == n_rows with a
+    row sharding over the 'mols' mesh axis (other leaves replicated).
+    n_rows must be divisible by len(devices)."""
+    mesh = data_parallel_mesh(devices)
+
+    def put(leaf):
+        if not hasattr(leaf, "shape") or getattr(leaf, "ndim", 0) == 0:
+            return leaf
+        if leaf.shape[0] == n_rows:
+            spec = P(MOL_AXIS, *([None] * (leaf.ndim - 1)))
+        else:
+            spec = P()
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map(put, tree)
+
+
+def pad_multiple(n: int, k: int) -> int:
+    """Smallest multiple of k that is >= n."""
+    return ((n + k - 1) // k) * k

@@ -31,9 +31,13 @@ def GetTFDMatrix(
     maxDev: str = "equal",
     symmRadius: int = 2,
     ignoreColinearBonds: bool = True,
+    hardwareOptions=None,
 ) -> AsyncResult:
     """Condensed TFD matrix over all conformer pairs of one molecule."""
-    return GetTFDMatrices([mol], useWeights, maxDev, symmRadius, ignoreColinearBonds)[0]
+    return GetTFDMatrices(
+        [mol], useWeights, maxDev, symmRadius, ignoreColinearBonds,
+        hardwareOptions,
+    )[0]
 
 
 def GetTFDMatrices(
@@ -42,6 +46,7 @@ def GetTFDMatrices(
     maxDev: str = "equal",
     symmRadius: int = 2,
     ignoreColinearBonds: bool = True,
+    hardwareOptions=None,
 ) -> list[AsyncResult]:
     """Batched condensed TFD matrices, one per molecule.
 
@@ -71,6 +76,13 @@ def GetTFDMatrices(
         n_confs.append(len(m.conformers))
 
     M = len(mols)
+    devices = None
+    if hardwareOptions is not None and hardwareOptions.deviceIds:
+        from nvmolkit_tpu.parallel.distributed import resolve_devices
+
+        devices = resolve_devices(hardwareOptions.deviceIds)
+        if len(devices) > 1 and M % len(devices):
+            M += len(devices) - M % len(devices)  # pad molecule rows
     max_atoms = max(m.num_atoms for m in mols)
     c_max = max(n_confs)
     t_max = max(1, max(ts.n_torsions for ts in torsion_sets))
@@ -105,15 +117,29 @@ def GetTFDMatrices(
             max_dev[k, t] = ts.max_dev[t]
             torsion_mask[k, t] = True
 
+    if devices is not None and len(devices) > 1:
+        # shard the molecule axis over the mesh (deviceIds honored)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from nvmolkit_tpu.parallel.mesh import MOL_AXIS, data_parallel_mesh
+
+        mesh = data_parallel_mesh(devices)
+
+        def _put(x):
+            spec = P(MOL_AXIS, *([None] * (x.ndim - 1)))
+            return jax.device_put(x, NamedSharding(mesh, spec))
+    else:
+        _put = jnp.asarray
+
     pair_grid = _pairs(c_max)  # [P_max, 2], shared across molecules
-    angles = jax.vmap(dihedral_angles)(jnp.asarray(confs), jnp.asarray(quartets))
+    angles = jax.vmap(dihedral_angles)(_put(confs), _put(quartets))
     tfd_all = jax.vmap(tfd_matrix_condensed, in_axes=(0, 0, 0, 0, 0, 0, None))(
         angles,
-        jnp.asarray(quartet_mask),
-        jnp.asarray(types),
-        jnp.asarray(weights),
-        jnp.asarray(max_dev),
-        jnp.asarray(torsion_mask),
+        _put(quartet_mask),
+        _put(types),
+        _put(weights),
+        _put(max_dev),
+        _put(torsion_mask),
         jnp.asarray(pair_grid),
     )  # [M, P_max]
     tfd_np = np.asarray(tfd_all)  # one transfer

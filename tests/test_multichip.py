@@ -20,6 +20,16 @@ pytestmark = pytest.mark.skipif(
 
 
 @pytest.fixture(scope="module")
+def eight_device_opts():
+    return HardwareOptions(deviceIds=list(range(8)))
+
+
+@pytest.fixture(scope="module")
+def small_mols():
+    return [mol_from_smiles(s) for s in ("CCO", "c1ccccc1", "CC(=O)O", "CCN")]
+
+
+@pytest.fixture(scope="module")
 def fps(request):
     mols = [mol_from_smiles(s) for s in request.getfixturevalue("smiles100")]
     return MorganFingerprintGenerator(radius=2, fpSize=1024).GetFingerprintsCpu(mols)
@@ -74,3 +84,54 @@ def test_bad_device_ids():
 
     with pytest.raises(ValueError):
         resolve_devices([99])
+
+
+def test_fingerprints_device_ids(eight_device_opts, small_mols):
+    from nvmolkit_tpu.fingerprints import MorganFingerprintGenerator
+
+    gen = MorganFingerprintGenerator(radius=2, fpSize=512)
+    single = gen.GetFingerprints(small_mols).numpy()
+    multi = gen.GetFingerprints(small_mols, hardwareOptions=eight_device_opts).numpy()
+    assert (single == multi).all()
+
+
+def test_fingerprints_from_smiles_device_ids(eight_device_opts):
+    from nvmolkit_tpu.fingerprints import MorganFingerprintGenerator
+
+    smiles = ["CCO", "c1ccccc1", "CC(=O)O", "CCN", "CCCC", "c1ccncc1",
+              "CC(C)O", "CS(=O)(=O)N", "OCC(O)CO", "CC#N"]
+    gen = MorganFingerprintGenerator(radius=2, fpSize=512)
+    single = gen.GetFingerprintsFromSmiles(smiles).numpy()
+    multi = gen.GetFingerprintsFromSmiles(
+        smiles, hardwareOptions=eight_device_opts
+    ).numpy()
+    assert (single == multi).all()
+
+
+def test_embed_device_ids(eight_device_opts):
+    from nvmolkit_tpu.chem import mol_from_smiles
+    from nvmolkit_tpu.embedMolecules import EmbedMolecules
+    import numpy as np
+
+    mols = [mol_from_smiles(s) for s in ("CCO", "CCC", "CCN")]
+    res = EmbedMolecules(
+        mols, confsPerMolecule=3, maxIterations=10,
+        hardwareOptions=eight_device_opts,
+    )
+    assert int(np.asarray(res.conf_mask).sum()) >= 6
+    for m in mols:
+        assert m.conformers
+
+
+def test_tfd_device_ids(eight_device_opts):
+    from nvmolkit_tpu.chem import mol_from_smiles
+    from nvmolkit_tpu.embedMolecules import EmbedMolecules
+    from nvmolkit_tpu.tfd import GetTFDMatrices
+    import numpy as np
+
+    mols = [mol_from_smiles(s) for s in ("CCCCO", "CCCCN", "CCCCC")]
+    EmbedMolecules(mols, confsPerMolecule=3, maxIterations=10)
+    single = GetTFDMatrices(mols)
+    multi = GetTFDMatrices(mols, hardwareOptions=eight_device_opts)
+    for a, b in zip(single, multi):
+        np.testing.assert_allclose(a.numpy(), b.numpy(), atol=1e-5)
