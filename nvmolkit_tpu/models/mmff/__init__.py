@@ -35,6 +35,8 @@ from nvmolkit_tpu.models.mmff.providers import (
     RDKitMMFFProvider,
     default_provider,
 )
+from nvmolkit_tpu.models.mmff.rules import EmpiricalMMFFProvider
+from nvmolkit_tpu.models.mmff.typing import mmff_atom_types
 
 __all__ = [
     "MMFFTerms",
@@ -46,6 +48,8 @@ __all__ = [
     "mmff_energy",
     "mmff_energy_and_grad",
     "ApproximateMMFFProvider",
+    "EmpiricalMMFFProvider",
     "RDKitMMFFProvider",
     "default_provider",
+    "mmff_atom_types",
 ]

@@ -15,6 +15,7 @@ files) are not embedded in this build; parameters come from a provider:
 from __future__ import annotations
 
 import math
+from pathlib import Path
 
 import numpy as np
 
@@ -38,7 +39,25 @@ def _has_rdkit() -> bool:
 
 
 def default_provider():
-    return RDKitMMFFProvider() if _has_rdkit() else ApproximateMMFFProvider()
+    """Provider resolution order (most exact first):
+
+    1. RDKit (exact MMFF94 assignment) when importable,
+    2. the standard MMFF94 .PAR distribution files when a directory is
+       named via ``NVMOLKIT_MMFF_PARAMS`` (exact tables, rule fill-in),
+    3. the published MMFF94 empirical rules (standalone default).
+    """
+    import os
+
+    if _has_rdkit():
+        return RDKitMMFFProvider()
+    par_dir = os.environ.get("NVMOLKIT_MMFF_PARAMS")
+    if par_dir and any(Path(par_dir).glob("MMFF*.PAR")):
+        from nvmolkit_tpu.models.mmff.params_files import MMFFParameterFileProvider
+
+        return MMFFParameterFileProvider(par_dir)
+    from nvmolkit_tpu.models.mmff.rules import EmpiricalMMFFProvider
+
+    return EmpiricalMMFFProvider()
 
 
 class ApproximateMMFFProvider:
