@@ -56,7 +56,9 @@ class EmbedParameters:
     firstMinimizeIters: int = 400
     fourthDimMinimizeIters: int = 200
     useBasicKnowledge: bool = True    # ETK improper (planarity) 3-D stage
-    useExpTorsionAnglePrefs: bool = False  # needs a torsion provider
+    # experimental-torsion preferences: ON by default (the embedded core
+    # library, models/etkdg_torsions); pass torsionProvider to override
+    useExpTorsionAnglePrefs: bool = True
     etkMinimizeIters: int = 150
     pruneRmsThresh: float = -1.0      # <=0 disables RMS pruning
     ignoreSmoothingFailures: bool = False  # embed with relaxed unsmoothed bounds
@@ -394,13 +396,21 @@ def _embed_bucket(
     )
 
     # optional ETK 3-D refinement stage (etkdg_stage_etk_minimization role)
-    use_etk = params.useBasicKnowledge or (
-        params.useExpTorsionAnglePrefs and torsion_provider is not None
-    )
+    use_etk = params.useBasicKnowledge or params.useExpTorsionAnglePrefs
     if use_etk:
         from nvmolkit_tpu.models.etk import build_etk_terms, etk_eg, pad_etk_batch
 
-        tp = torsion_provider if params.useExpTorsionAnglePrefs else None
+        if params.useExpTorsionAnglePrefs:
+            if torsion_provider is None:
+                from nvmolkit_tpu.models.etkdg_torsions import (
+                    default_torsion_provider,
+                )
+
+                tp = default_torsion_provider()
+            else:
+                tp = torsion_provider
+        else:
+            tp = None
         etk_host = [build_etk_terms(molecules[mi], tp) for mi in mol_ids]
         etk_pad = pad_etk_batch(etk_host)
         etk_batch = {k: _put(v[sys_mol]) for k, v in etk_pad.items()}

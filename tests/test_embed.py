@@ -194,3 +194,63 @@ def test_prune_conformers_unit(rng):
     assert 0 in kept and 2 in kept and 1 not in kept
     # disabled threshold keeps everything
     assert len(prune_conformers(confs, threshold=-1)) == 3
+
+
+# ---------------------------------------------------------------------------
+# round 2: experimental-torsion library (default ON)
+# ---------------------------------------------------------------------------
+
+def test_torsion_provider_rules_match():
+    from nvmolkit_tpu.chem import mol_from_smiles
+    from nvmolkit_tpu.models.etkdg_torsions import default_torsion_provider
+
+    prov = default_torsion_provider()
+    idx, coeffs, phase = prov(mol_from_smiles("CC(=O)NC"))
+    assert len(idx) == 1  # the amide bond gets the twofold planar rule
+    assert coeffs[0, 1] > 4.0 and abs(phase[0, 1] - 3.14159) < 1e-3
+    # generic butane gets the threefold staggering rule
+    idx2, coeffs2, _ = prov(mol_from_smiles("CCCC"))
+    assert len(idx2) == 1 and coeffs2[0, 2] > 0
+    # ring central bonds get no rule
+    idx3, *_ = prov(mol_from_smiles("C1CCCCC1"))
+    assert len(idx3) == 0
+
+
+def test_torsion_rules_loadable(tmp_path):
+    from nvmolkit_tpu.models.etkdg_torsions import (
+        ExperimentalTorsionProvider,
+        load_torsion_rules,
+    )
+    from nvmolkit_tpu.chem import mol_from_smiles
+
+    f = tmp_path / "torsions.txt"
+    f.write_text("# custom library\n[*][CX4][CX4][*] 3 1.5 0.0\n")
+    rules = load_torsion_rules(f)
+    assert len(rules) == 1
+    prov = ExperimentalTorsionProvider(rules)
+    idx, coeffs, _ = prov(mol_from_smiles("CCCC"))
+    assert len(idx) == 1 and abs(float(coeffs[0, 2]) - 1.5) < 1e-6
+
+
+def test_embed_amide_prefers_planar_torsion():
+    """Embedding an amide with the default ET library produces (near-)
+    planar amide torsions, the library's defining behavior."""
+    import math
+    from nvmolkit_tpu.chem import mol_from_smiles
+    from nvmolkit_tpu.embedMolecules import EmbedMolecules
+
+    m = mol_from_smiles("CC(=O)NC")  # quartet O=C-N-C is (2,1,3,4)
+    EmbedMolecules([m], confsPerMolecule=4, maxIterations=20)
+    assert m.conformers
+    import numpy as np
+
+    def dihedral(p, i, j, k, l):
+        b1, b2, b3 = p[j] - p[i], p[k] - p[j], p[l] - p[k]
+        n1, n2 = np.cross(b1, b2), np.cross(b2, b3)
+        m1 = np.cross(n1, b2 / np.linalg.norm(b2))
+        return math.degrees(math.atan2(np.dot(m1, n2), np.dot(n1, n2)))
+
+    for conf in m.conformers:
+        phi = abs(dihedral(np.asarray(conf), 2, 1, 3, 4))
+        # minima of 6.0(1+cos(2phi - pi)) are at 0 and 180
+        assert phi < 40.0 or phi > 140.0, f"amide torsion not planar: {phi}"
