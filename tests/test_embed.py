@@ -254,3 +254,25 @@ def test_embed_amide_prefers_planar_torsion():
         phi = abs(dihedral(np.asarray(conf), 2, 1, 3, 4))
         # minima of 6.0(1+cos(2phi - pi)) are at 0 and 180
         assert phi < 40.0 or phi > 140.0, f"amide torsion not planar: {phi}"
+
+
+def test_embed_preserves_named_stereocenter():
+    """End-to-end chirality preservation: L-alanine-like C[C@H](N)C(=O)O;
+    every accepted conformer's chiral volume must have the declared
+    sign (the reference validates with conformer_checkers)."""
+    from nvmolkit_tpu.chem import mol_from_smiles
+    from nvmolkit_tpu.embedMolecules import EmbedMolecules
+    from nvmolkit_tpu.models.dist_geom import build_chiral_sets
+    import numpy as np
+
+    for smi in ("C[C@H](N)C(=O)O", "C[C@@H](N)C(=O)O"):
+        m = mol_from_smiles(smi)
+        idx, lb, ub = build_chiral_sets(m)
+        assert len(idx) == 1, smi
+        EmbedMolecules([m], confsPerMolecule=4, maxIterations=20)
+        assert m.conformers, smi
+        for conf in m.conformers:
+            p = np.asarray(conf)
+            a, b, c, d = idx[0]
+            v = np.dot(p[a] - p[d], np.cross(p[b] - p[d], p[c] - p[d]))
+            assert lb[0] <= v <= ub[0], (smi, v, lb[0], ub[0])

@@ -1,0 +1,101 @@
+"""float64 validation mode (reference uses f64 positions/energies
+throughout, ``src/forcefields/mmff.h:318-341``; the TPU build is f32 on
+device). This module runs the optimize stack under
+``JAX_ENABLE_X64=1`` on CPU in a subprocess (the flag is global, so it
+must not leak into the f32 session) and asserts the f32 results match
+the f64 ground truth within documented tolerances:
+
+  final energies   |E32 - E64|  < 5e-2 kcal/mol per system (the
+                   reference's minimized-energy contract)
+  geometry         Kabsch-aligned RMSD < 0.3 A for >= 75% of systems
+                   (minimization fixes no global frame, and borderline
+                   systems may legitimately settle in different minima)
+  convergence      >= 75% of systems agree on converged status
+"""
+import json
+import os
+import subprocess
+import sys
+import textwrap
+from pathlib import Path
+
+import numpy as np
+
+_SCRIPT = textwrap.dedent(
+    """
+    import json, sys
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from nvmolkit_tpu.chem import mol_from_smiles
+    from nvmolkit_tpu.embedMolecules import EmbedMolecules
+    from nvmolkit_tpu.models.mmff import MMFFProperties, make_batched_mmff, mmff_energy_and_grad
+    from nvmolkit_tpu.ops.lbfgs_flat import batched_lbfgs_flat_minimize
+
+    dtype = jnp.float64 if sys.argv[1] == "f64" else jnp.float32
+    mols = [mol_from_smiles(s) for s in ("CCO", "CCCN", "CC(=O)NC", "c1ccccc1O")]
+    EmbedMolecules(mols, confsPerMolecule=2, maxIterations=10)
+    A = 16
+    sys_mols, pos = [], []
+    for m in mols:
+        for c in m.conformers:
+            sys_mols.append(m)
+            p = np.zeros((A, 3))
+            p[: m.num_atoms] = c
+            pos.append(p)
+    batch = make_batched_mmff(sys_mols, A, MMFFProperties())
+    pos0 = jnp.asarray(np.stack(pos), dtype=dtype)
+    res = batched_lbfgs_flat_minimize(
+        mmff_energy_and_grad, pos0, batch.atom_mask, max_iters=200,
+        energy_args=batch,
+    )
+    out = {
+        "e": np.asarray(res.energies, np.float64).tolist(),
+        "pos": np.asarray(res.positions, np.float64).tolist(),
+        "conv": np.asarray(res.converged).astype(int).tolist(),
+    }
+    print("RESULT" + json.dumps(out))
+    """
+)
+
+
+def _run(mode: str, x64: bool):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    if x64:
+        env["JAX_ENABLE_X64"] = "1"
+    env["PYTHONPATH"] = str(Path(__file__).resolve().parents[1]) + os.pathsep + env.get("PYTHONPATH", "")
+    r = subprocess.run(
+        [sys.executable, "-c", _SCRIPT, mode],
+        capture_output=True, text=True, env=env, timeout=900,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    line = [x for x in r.stdout.splitlines() if x.startswith("RESULT")][-1]
+    return json.loads(line[len("RESULT"):])
+
+
+def test_f32_matches_f64_within_tolerance():
+    r32 = _run("f32", x64=False)
+    r64 = _run("f64", x64=True)
+    e32, e64 = np.asarray(r32["e"]), np.asarray(r64["e"])
+    p32, p64 = np.asarray(r32["pos"]), np.asarray(r64["pos"])
+    assert e32.shape == e64.shape
+    assert np.max(np.abs(e32 - e64)) < 5e-2, (e32, e64)
+
+    # Kabsch-aligned per-system RMSD (global frame is arbitrary)
+    def aligned_rmsd(a, b):
+        a = a - a.mean(0)
+        b = b - b.mean(0)
+        h = a.T @ b
+        u, _s, vt = np.linalg.svd(h)
+        d = np.sign(np.linalg.det(vt.T @ u.T))
+        r = vt.T @ np.diag([1.0, 1.0, d]) @ u.T
+        return float(np.sqrt(np.mean(np.sum((a @ r.T - b) ** 2, axis=1))))
+
+    rmsds = np.asarray(
+        [aligned_rmsd(p32[s], p64[s]) for s in range(p32.shape[0])]
+    )
+    assert np.mean(rmsds < 0.3) >= 0.75, rmsds
+    # converged sets agree except borderline systems
+    assert np.mean(np.asarray(r32["conv"]) == np.asarray(r64["conv"])) >= 0.75

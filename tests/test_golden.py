@@ -1,0 +1,118 @@
+"""Golden-fixture tests.
+
+Two layers:
+
+* ``rdkit_*.json`` — RDKit parity goldens generated offline by
+  ``tools/generate_goldens.py`` on a machine with RDKit. These tests
+  SKIP until the files are committed; once present they end the
+  self-referential oracle chain (the CPU Morgan oracle, the SMILES
+  parser, bounds, TFD and substructure all get checked against RDKit's
+  published behavior).
+* ``regression_*.json`` — snapshots of THIS implementation's outputs,
+  committed from a known-good state. They are NOT external validation;
+  they catch unintended behavior changes in refactors.
+"""
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from nvmolkit_tpu.chem import mol_from_smiles
+
+GOLDEN = Path(__file__).parent / "golden"
+
+
+def _load(name):
+    p = GOLDEN / name
+    if not p.exists():
+        pytest.skip(f"{name} not generated (run tools/generate_goldens.py with RDKit)")
+    return json.loads(p.read_text())
+
+
+# --------------------------------------------------------------------------
+# RDKit parity (skip until goldens are committed)
+# --------------------------------------------------------------------------
+
+def test_rdkit_morgan_bits():
+    data = _load("rdkit_morgan.json")
+    from nvmolkit_tpu.ops.packed_bits import unpack_bits_np
+    from nvmolkit_tpu.fingerprints import MorganFingerprintGenerator
+
+    smiles = data["smiles"]
+    mols = [mol_from_smiles(s) for s in smiles]
+    for key, golden_bits in data["bits"].items():
+        radius = int(key[1])
+        fp_size = int(key.split("_n")[1].split("_")[0])
+        chiral = key.endswith("_c1")
+        gen = MorganFingerprintGenerator(
+            radius=radius, fpSize=fp_size, useChirality=chiral
+        )
+        fps = unpack_bits_np(np.asarray(gen.GetFingerprints(mols).numpy()))
+        for mi, want in enumerate(golden_bits):
+            got = sorted(np.nonzero(fps[mi])[0].tolist())
+            assert got == want, (key, smiles[mi])
+
+
+def test_rdkit_perception():
+    data = _load("rdkit_perception.json")
+    for smi, want in zip(data["smiles"], data["perception"]):
+        m = mol_from_smiles(smi)
+        assert [bool(a.is_aromatic) for a in m.atoms] == want["aromatic"], smi
+        assert [a.total_hs for a in m.atoms] == want["implicit_hs"], smi
+        assert [bool(a.in_ring) for a in m.atoms] == want["in_ring"], smi
+        from nvmolkit_tpu.chem.rings import get_sssr
+
+        assert sorted(len(r) for r in get_sssr(m)) == want["sssr_sizes"], smi
+
+
+def test_rdkit_substruct_matches():
+    data = _load("rdkit_substruct.json")
+    from nvmolkit_tpu.chem.smarts import parse_smarts
+    from nvmolkit_tpu.ops.substruct import featurize_target, find_matches
+
+    queries = {q: parse_smarts(q) for q in data["smarts"]}
+    for entry in data["entries"]:
+        tf = featurize_target(mol_from_smiles(entry["smiles"]))
+        for q, want in entry["matches"].items():
+            got, _ = find_matches(queries[q], tf)
+            got_sets = sorted(sorted(r) for r in got.tolist())
+            assert got_sets == want, (entry["smiles"], q)
+
+
+def test_rdkit_tfd_values():
+    data = _load("rdkit_tfd.json")
+    from nvmolkit_tpu.tfd import GetTFDMatrix
+
+    for entry in data["entries"]:
+        m = mol_from_smiles(entry["smiles"])
+        for coords in entry["confs"]:
+            m.add_conformer(np.asarray(coords))
+        got = GetTFDMatrix(m).numpy()
+        want = np.asarray(entry["tfd"])
+        np.testing.assert_allclose(got, want, atol=1e-4, err_msg=entry["smiles"])
+
+
+# --------------------------------------------------------------------------
+# Regression snapshots (generated from this implementation)
+# --------------------------------------------------------------------------
+
+def test_regression_morgan_bits():
+    data = _load("regression_morgan.json")
+    from nvmolkit_tpu.ops.morgan_cpu import morgan_fingerprint_cpu
+    from nvmolkit_tpu.ops.packed_bits import unpack_bits_np
+
+    for smi, want in zip(data["smiles"], data["bits"]):
+        m = mol_from_smiles(smi)
+        fp = unpack_bits_np(morgan_fingerprint_cpu(m, 2, 1024)[None])[0]
+        assert sorted(np.nonzero(fp)[0].tolist()) == want, smi
+
+
+def test_regression_substruct_counts():
+    data = _load("regression_substruct.json")
+    from nvmolkit_tpu.substructure import getSubstructMatches
+
+    mols = [mol_from_smiles(s) for s in data["smiles"]]
+    res = getSubstructMatches(mols, data["smarts"])
+    got = res.counts().tolist()
+    assert got == data["counts"]
