@@ -13,8 +13,10 @@ bits-matmul. The same line carries the other BASELINE rows in
   * morgan_fp_e2e       — SMILES -> Morgan fingerprints (r=3, 2048 bits),
     10k molecules (mols/sec)
 
-Each extra metric is guarded: a tunnel stall in one workload must not
-take down the headline line.
+Each workload runs in its OWN subprocess: a TPU-runtime crash or tunnel
+stall in one workload must not take down the others (the axon-tunneled
+CI chip has been observed to kill the whole worker process mid-run).
+The parent aggregates the per-workload JSON lines into the final line.
 """
 import json
 import time
@@ -167,15 +169,54 @@ def bench_morgan() -> dict:
     }
 
 
+_WORKERS = {
+    "mmff": ("bench_mmff", 1500),
+    "butina": ("bench_fused_butina", 900),
+    "morgan": ("bench_morgan", 900),
+}
+
+
+def _run_worker(name: str) -> dict:
+    """Run one workload in a fresh subprocess (fresh TPU client); its
+    last stdout line is the metric JSON."""
+    import subprocess
+    import sys
+
+    fn_name, tmo = _WORKERS[name]
+    try:
+        proc = subprocess.run(
+            [sys.executable, __file__, "--worker", name],
+            capture_output=True, text=True, timeout=tmo,
+        )
+        for line in reversed(proc.stdout.strip().splitlines()):
+            line = line.strip()
+            if line.startswith("{"):
+                return json.loads(line)
+        raise RuntimeError(
+            f"no metric line (rc={proc.returncode}): {proc.stderr[-2000:]}"
+        )
+    except Exception as exc:  # crash/timeout in one workload: keep going
+        traceback.print_exc()
+        return {
+            "metric": fn_name, "value": None, "error": True,
+            "detail": str(exc)[:500],
+        }
+
+
 def main() -> None:
-    pairs_per_sec = bench_similarity()
-    extras = []
-    for fn in (bench_mmff, bench_fused_butina, bench_morgan):
-        try:
-            extras.append(fn())
-        except Exception:
-            traceback.print_exc()
-            extras.append({"metric": fn.__name__, "value": None, "error": True})
+    import sys
+
+    if len(sys.argv) > 2 and sys.argv[1] == "--worker":
+        fn = globals()[_WORKERS[sys.argv[2]][0]]
+        print(json.dumps(fn()), flush=True)
+        return
+
+    try:
+        pairs_per_sec = bench_similarity()
+    except Exception:
+        traceback.print_exc()
+        pairs_per_sec = 0.0
+    extras = [_run_worker(name) for name in _WORKERS]
     print(
         json.dumps(
             {

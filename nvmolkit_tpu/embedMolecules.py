@@ -137,12 +137,31 @@ def EmbedMolecules(
 
     timer = StageTimer() if debugMode else None
     for bucket, mol_ids in sorted(buckets.items()):
-        key, sub = jax.random.split(key)
-        _embed_bucket(
-            molecules, mol_ids, bucket, confsPerMolecule, maxIterations,
-            params, sub, out_pos, out_conf_mask, fail, torsionProvider, timer,
-            opts,
-        )
+        # Chunk the (mol, conf) system axis so one launch's working set
+        # fits HBM: the DG stage's batched BFGS carries a few copies of
+        # the [S, 4A, 4A] inverse Hessian, which at large S on the
+        # 128/256-atom buckets exceeds a v5e chip's 16 GB and kills the
+        # TPU worker outright. HardwareOptions.batchSize (-1 = auto)
+        # overrides the memory-derived cap — the reference's
+        # systems-per-dispatch knob (hardware_options.h:26-36).
+        cap = opts.batchSize if opts.batchSize > 0 else _embed_chunk_cap(bucket)
+        mols_per_chunk = max(1, cap // max(1, confsPerMolecule))
+        import os as _os
+
+        _dbg = _os.environ.get("NVMOLKIT_EMBED_DEBUG")
+        for start in range(0, len(mol_ids), mols_per_chunk):
+            if _dbg:
+                print(
+                    f"[embed] bucket={bucket} chunk={start}:{start + mols_per_chunk}"
+                    f" of {len(mol_ids)} mols x {confsPerMolecule} confs",
+                    flush=True,
+                )
+            key, sub = jax.random.split(key)
+            _embed_bucket(
+                molecules, mol_ids[start : start + mols_per_chunk], bucket,
+                confsPerMolecule, maxIterations, params, sub, out_pos,
+                out_conf_mask, fail, torsionProvider, timer, opts,
+            )
     if timer is not None:
         print(timer.report())
 
@@ -171,6 +190,25 @@ def EmbedMolecules(
         conf_mask=jnp.asarray(out_conf_mask),
         atom_mask=jnp.asarray(out_atom_mask),
     )
+
+
+def _embed_chunk_cap(bucket: int, budget_bytes: float = 3e9) -> int:
+    """Max systems per embed launch for one atom bucket.
+
+    Two per-launch bounds:
+
+    * memory — the DG-stage BFGS inverse Hessian ([S, 4A, 4A] f32, ~4
+      live copies through the while_loop body) plus the [S, A, A]
+      bounds/mask set is ~280*A^2 bytes per system; 3 GB of HBM is
+      budgeted per launch.
+    * wall time — a single 400-iteration DG minimize launch over more
+      than ~4k systems runs long enough to trip the tunneled CI chip's
+      RPC watchdog, which kills the TPU worker process outright
+      (observed at S=8192, A=32; S=4096 is reliable). 4096 caps every
+      bucket.
+    """
+    per_system = 280.0 * bucket * bucket
+    return max(8, min(4096, int(budget_bytes / per_system)))
 
 
 def _embed_bucket(
@@ -419,41 +457,108 @@ def _embed_bucket(
             "atom_mask": am_s, "bounds_weight": jnp.float32(1.0),
         }
 
-    for attempt in range(max_iterations):
-        if not needed.any():
+    # Retry compaction: attempt 1 runs the full batch, but later
+    # attempts only re-embed the (typically few) still-failing systems.
+    # Without this, every retry repeats coordgen + three BFGS stages for
+    # ALL systems (the reference instead re-dispatches only unfinished
+    # conformers through its Scheduler, etkdg_impl.h:210-233). Sub-batch
+    # sizes come from a pow4 ladder so jit recompiles stay bounded.
+    dev_quant = len(devices) if multi else 1
+    ladder = []
+    sz = S
+    while True:
+        ladder.append(sz)
+        nxt = max(16, (sz + 3) // 4)
+        nxt = ((nxt + dev_quant - 1) // dev_quant) * dev_quant
+        if nxt >= sz:
             break
+        sz = nxt
+    ladder = sorted(set(ladder))
+    tri = jnp.triu(jnp.ones((A, A), bool), 1)[None]
+    chk_full = (
+        ci_s, clb_s, cub_s, cm_s, ti_s, tm_s, dbe_i_s, dbe_m_s,
+        sdb_i_s, sdb_sg_s, sdb_m_s, cd_i_s, cd_lb_s, cd_ub_s, cd_m_s,
+    )
+
+    for attempt in range(max_iterations):
+        active = np.nonzero(needed)[0]
+        if len(active) == 0:
+            break
+        sub_S = next(s for s in ladder if s >= len(active))
+        if sub_S >= S:
+            ub_a, lb_a, am_a, pm = ub_s, lb_s, am_s, pair_mask
+            a_first, a_second = args_first, args_second
+            a_etk = args_etk if use_etk else None
+            chk = chk_full
+            row_to_sys = np.arange(S)
+            row_valid = needed.copy()
+        else:
+            idx_np = np.zeros(sub_S, np.int64)
+            idx_np[: len(active)] = active
+            sel = jnp.asarray(idx_np)
+
+            def g(x, _sel=sel):
+                return _put(x[_sel])
+
+            ub_a, lb_a, am_a = g(ub_s), g(lb_s), g(am_s)
+            pm = am_a[:, :, None] & am_a[:, None, :] & tri
+            u2, l2 = ub_a * ub_a, lb_a * lb_a
+            base = {
+                "ub2": u2, "lb2": l2, "pair_mask": pm, "atom_mask": am_a,
+                "chiral_idx": g(ci_s), "chiral_lb": g(clb_s),
+                "chiral_ub": g(cub_s), "chiral_mask": g(cm_s),
+            }
+            a_first = dict(
+                base,
+                chiral_weight=jnp.float32(params.chiralWeightFirst),
+                fourth_dim_weight=jnp.float32(params.fourthDimWeightFirst),
+            )
+            a_second = dict(
+                base,
+                chiral_weight=jnp.float32(params.chiralWeightSecond),
+                fourth_dim_weight=jnp.float32(params.fourthDimWeightSecond),
+            )
+            if use_etk:
+                a_etk = {
+                    "ub2": u2, "lb2": l2, "pair_mask": pm,
+                    "etk": {k: g(v) for k, v in etk_batch.items()},
+                    "atom_mask": am_a, "bounds_weight": jnp.float32(1.0),
+                }
+            chk = tuple(g(x) for x in chk_full)
+            row_to_sys = idx_np
+            row_valid = np.zeros(sub_S, bool)
+            row_valid[: len(active)] = True
+
         key, k_coords = jax.random.split(key)
         with stage("coordgen"):
             coords4 = random_distance_matrices(
-                k_coords, ub_s, lb_s, am_s, n_dims=4
-            )  # [S, A, 4]
+                k_coords, ub_a, lb_a, am_a, n_dims=4
+            )  # [sub_S, A, 4]
 
         with stage("first_minimization"):
             res1 = batched_bfgs_minimize(
-                dg_eg, coords4, am_s, max_iters=params.firstMinimizeIters,
-                energy_args=args_first,
+                dg_eg, coords4, am_a, max_iters=params.firstMinimizeIters,
+                energy_args=a_first,
             )
         with stage("fourth_dim_minimization"):
             res2 = batched_bfgs_minimize(
-                dg_eg, res1.positions, am_s,
-                max_iters=params.fourthDimMinimizeIters, energy_args=args_second,
+                dg_eg, res1.positions, am_a,
+                max_iters=params.fourthDimMinimizeIters, energy_args=a_second,
             )
-        pos3 = res2.positions[..., :3]  # [S, A, 3]
+        pos3 = res2.positions[..., :3]  # [sub_S, A, 3]
         if use_etk:
             from nvmolkit_tpu.models.etk import etk_eg
 
             with stage("etk_minimization"):
                 res3 = batched_bfgs_minimize(
-                    etk_eg, pos3, am_s, max_iters=params.etkMinimizeIters,
-                    energy_args=args_etk,
+                    etk_eg, pos3, am_a, max_iters=params.etkMinimizeIters,
+                    energy_args=a_etk,
                 )
             pos3 = res3.positions
 
         with stage("stereo_checks"):
             oks = _check_embeddings(
-                pos3, ub_s, lb_s, pair_mask, ci_s, clb_s, cub_s, cm_s,
-                ti_s, tm_s, dbe_i_s, dbe_m_s, sdb_i_s, sdb_sg_s, sdb_m_s,
-                cd_i_s, cd_lb_s, cd_ub_s, cd_m_s,
+                pos3, ub_a, lb_a, pm, *chk,
                 params.maxViolationRatio, params.minTetrahedralVolume,
             )
         names = (
@@ -465,24 +570,24 @@ def _embed_bucket(
             ("chiral_dist_check",),
         )
         oks = [np.asarray(o) for o in oks]
-        ok = np.ones(S, bool)
-        passed_so_far = np.ones(S, bool)
+        ok = np.ones(len(row_valid), bool)
+        passed_so_far = np.ones(len(row_valid), bool)
         for (name,), o in zip(names, oks):
-            newly_failed = needed & passed_so_far & ~o
+            newly_failed = row_valid & passed_so_far & ~o
             setattr(fail, name, getattr(fail, name) + int(newly_failed.sum()))
             passed_so_far &= o
             ok &= o
 
         pos_np = np.asarray(pos3)
-        for s in range(S):
-            if needed[s] and ok[s]:
-                k = sys_mol[s]
-                mi = mol_ids[k]
-                ci = s % confs_per_mol
-                na = molecules[mi].num_atoms
-                out_pos[mi, ci, :na] = pos_np[s, :na]
-                out_conf_mask[mi, ci] = True
-                needed[s] = False
+        for j in np.nonzero(row_valid & ok)[0]:
+            s = row_to_sys[j]
+            k = sys_mol[s]
+            mi = mol_ids[k]
+            ci = s % confs_per_mol
+            na = molecules[mi].num_atoms
+            out_pos[mi, ci, :na] = pos_np[j, :na]
+            out_conf_mask[mi, ci] = True
+            needed[s] = False
 
 
 @jax.jit

@@ -34,6 +34,20 @@ def _bucket_for(n_atoms: int, buckets: tuple[int, ...]) -> int:
     raise ValueError(f"molecule with {n_atoms} atoms exceeds largest bucket {buckets[-1]}")
 
 
+def _optimize_chunk_cap(bucket: int, budget_bytes: float = 3e9) -> int:
+    """Max systems per minimize launch for one atom bucket.
+
+    Memory per system is dominated by the nonbonded [A*A] tables plus
+    L-BFGS history (~40*A^2 bytes); the hard bound in practice is wall
+    time — single launches beyond ~4k systems run long enough to trip
+    the tunneled CI chip's RPC watchdog (same failure mode as
+    embedMolecules._embed_chunk_cap), and measured throughput peaks
+    near 4k systems anyway (4.0k min/s at S=4096 vs 3.3k at S=8192 on
+    v5e: the larger launch spills XLA temporaries)."""
+    per_system = 40.0 * bucket * bucket
+    return max(8, min(4096, int(budget_bytes / per_system)))
+
+
 def optimize_molecules_confs(
     mols: list[Mol],
     make_batch_fn: Callable,        # (mols, max_atoms) -> batch pytree
@@ -82,7 +96,14 @@ def optimize_molecules_confs(
     devices = resolve_devices(opts.deviceIds)
     multi = len(devices) > 1
 
+    cap = opts.batchSize if opts.batchSize > 0 else None
+    chunked: list[tuple[int, list[SystemRef]]] = []
     for bucket, systems in sorted(bucket_systems.items()):
+        c = cap or _optimize_chunk_cap(bucket)
+        for start in range(0, len(systems), c):
+            chunked.append((bucket, systems[start : start + c]))
+
+    for bucket, systems in chunked:
         S = len(systems)
         n_pad = 0
         if multi and S % len(devices):

@@ -38,7 +38,31 @@ class TargetFeatures:
     n_atoms: int
 
 
-def featurize_target(mol: Mol) -> TargetFeatures:
+def featurize_target(mol: Mol, need_ring_count: bool = True) -> TargetFeatures:
+    """Build (and cache on the Mol) the flat feature arrays.
+
+    The reference compiles each target once into packed device structs
+    (``src/substruct/molecules.cpp``); caching here plays the same role
+    for repeated searches. ``need_ring_count`` gates the SSSR
+    ring-membership perception — by far the most expensive feature
+    (only ``R<n>`` SMARTS primitives consult it), so callers skip it
+    when no query needs it. A cache built without ring counts is
+    upgraded in place when a later call needs them.
+    """
+    cached = getattr(mol, "_substruct_tf_cache", None)
+    if cached is not None:
+        if need_ring_count and not cached._has_ring_count:
+            cached.feats["ring_count"] = np.asarray(
+                get_ring_membership_counts(mol), np.int32
+            )
+            cached._has_ring_count = True
+        return cached
+    tf = _featurize_target_uncached(mol, need_ring_count)
+    mol._substruct_tf_cache = tf
+    return tf
+
+
+def _featurize_target_uncached(mol: Mol, need_ring_count: bool) -> TargetFeatures:
     arrays = mol.to_arrays()
     n = mol.num_atoms
     total_hs = arrays["total_hs"]
@@ -74,9 +98,31 @@ def featurize_target(mol: Mol) -> TargetFeatures:
         "ring_bonds": ring_bonds,
         "valence": valence + total_hs,
         "isotope": arrays["isotope"],
-        "ring_count": np.asarray(get_ring_membership_counts(mol), np.int32),
+        "ring_count": (
+            np.asarray(get_ring_membership_counts(mol), np.int32)
+            if need_ring_count
+            else np.zeros(n, np.int32)
+        ),
     }
-    return TargetFeatures(feats=feats, adj_kind=adj_kind, adj_ring=adj_ring, n_atoms=n)
+    tf = TargetFeatures(feats=feats, adj_kind=adj_kind, adj_ring=adj_ring, n_atoms=n)
+    tf._has_ring_count = need_ring_count
+    return tf
+
+
+def query_uses_prop(q: QueryMol, prop: str) -> bool:
+    """True if any atom expression in ``q`` (including recursive
+    sub-patterns) consults feature ``prop``."""
+
+    def walk(e: Expr) -> bool:
+        if e.kind == LEAF:
+            if e.prop == prop:
+                return True
+            if e.prop == "recursive" and e.pattern is not None:
+                return query_uses_prop(e.pattern, prop)
+            return False
+        return any(walk(c) for c in e.children)
+
+    return any(walk(a.expr) for a in q.atoms)
 
 
 def _eval_expr(expr: Expr, tf: TargetFeatures) -> np.ndarray:

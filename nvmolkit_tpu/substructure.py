@@ -96,7 +96,13 @@ def getSubstructMatches(
 ) -> SubstructMatchResults:
     cfg = config or SubstructSearchConfig()
     qmols = [_as_query(q) for q in queries]
-    tfs = [featurize_target(t) for t in targets]
+    # SSSR ring-membership counts are the most expensive target feature;
+    # only R<n> primitives read them, so skip the perception entirely
+    # when no query uses one (features are cached per Mol either way).
+    from nvmolkit_tpu.ops.substruct import query_uses_prop
+
+    need_rc = any(query_uses_prop(q, "ring_count") for q in qmols)
+    tfs = [featurize_target(t, need_ring_count=need_rc) for t in targets]
 
     from nvmolkit_tpu.chem.native_substruct import (
         native_substruct_available,

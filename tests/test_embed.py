@@ -103,6 +103,38 @@ def test_embed_batch_counts():
         assert len(per_mol[mi]) == cm[mi].sum()
 
 
+def test_embed_chunked_batch_size():
+    """HardwareOptions.batchSize chunks the system axis into multiple
+    launches (HBM guard); results must stay structurally identical."""
+    from nvmolkit_tpu.utils.config import HardwareOptions
+
+    smiles = ["CCO", "CCN", "CCC", "c1ccncc1", "CC(C)O", "CCCl"]
+    mols = [mol_from_smiles(s) for s in smiles]
+    res = EmbedMolecules(
+        mols, confsPerMolecule=2, maxIterations=15,
+        hardwareOptions=HardwareOptions(batchSize=3),
+    )
+    cm = np.asarray(res.conf_mask)
+    assert cm.shape == (6, 2)
+    assert cm.sum() >= 10
+    per_mol = res.per_molecule()
+    for mi, m in enumerate(mols):
+        assert len(per_mol[mi]) == cm[mi].sum()
+        for conf in per_mol[mi]:
+            assert conf.shape == (m.num_atoms, 3)
+            assert np.isfinite(conf).all()
+
+
+def test_embed_chunk_cap_scales_with_bucket():
+    from nvmolkit_tpu.embedMolecules import _embed_chunk_cap
+
+    assert _embed_chunk_cap(32) > _embed_chunk_cap(64) > _embed_chunk_cap(128)
+    # 128-atom bucket: cap must keep the [S, 4A, 4A] Hessian set under
+    # the documented 3 GB budget
+    assert _embed_chunk_cap(128) * 280 * 128 * 128 <= 3e9
+    assert _embed_chunk_cap(256) >= 8
+
+
 def test_embed_chirality_preserved():
     m = mol_from_smiles("C[C@H](N)C(=O)O")  # L-alanine-like
     res = EmbedMolecules([m], confsPerMolecule=4, maxIterations=20)
