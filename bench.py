@@ -94,8 +94,10 @@ def bench_mmff() -> dict:
     n_systems = sum(len(m.conformers) for m in mols)
 
     MMFFOptimizeMoleculesConfs(mols, maxIters=200)  # compile + warm
+    # best-of-4: the tunneled CI chip shows 2x run-to-run variance
+    # (stalls tens of ms at a time); the best run reflects the kernel
     best = float("inf")
-    for _ in range(2):
+    for _ in range(4):
         t0 = time.perf_counter()
         results, dense = MMFFOptimizeMoleculesConfs(mols, maxIters=200)
         best = min(best, time.perf_counter() - t0)

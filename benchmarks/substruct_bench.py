@@ -21,22 +21,34 @@ QUERIES = [
 ]
 
 
-def main(n_targets: int = 2000):
+def main(n_targets: int = 2000, engine: str = "native"):
     from nvmolkit_tpu.chem.native import mols_from_smiles
-    from nvmolkit_tpu.substructure import getSubstructMatches
+    from nvmolkit_tpu.substructure import (
+        SubstructSearchConfig,
+        getSubstructMatches,
+    )
 
+    cfg = SubstructSearchConfig(
+        useDeviceEngine=(engine == "device"),
+        useNativeEngine=(engine == "native"),
+    )
     targets = mols_from_smiles(make_smiles(n_targets))
+    getSubstructMatches(targets[:64], QUERIES, cfg)  # warm/compile
     with Timer() as t:
-        res = getSubstructMatches(targets, QUERIES)
+        res = getSubstructMatches(targets, QUERIES, cfg)
     n_pairs = len(targets) * len(QUERIES)
     emit(
         "substructure_search",
         n_pairs / t.elapsed,
         "target-query pairs/sec",
         n_pairs=n_pairs,
+        engine=engine,
         total_matches=int(res.counts().sum()),
     )
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 2000)
+    main(
+        int(sys.argv[1]) if len(sys.argv) > 1 else 2000,
+        sys.argv[2] if len(sys.argv) > 2 else "native",
+    )

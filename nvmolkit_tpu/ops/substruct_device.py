@@ -1,0 +1,384 @@
+"""Device (TPU) GSI substructure join.
+
+TPU-native counterpart of the reference's GPU BFS join
+(``src/substruct/substruct_algos.cuh:255-430`` gsiBFSSearchGPU): partial
+matches extend level by level through the query's BFS order, with the
+whole frontier held as a dense ``[B, P, Q]`` tensor batched over B
+(target, query) pairs. Each step builds a dense ``[B, P, T]`` candidate
+mask (label AND injectivity AND per-back-edge bond compatibility via
+one-hot MXU einsum) and compacts the surviving (partial, candidate)
+cells into the next frontier with ``lax.top_k`` — every op fixed-shape
+under ``jit``, no elementwise gathers (see ``_device_gsi_join``).
+
+Frontiers larger than the ``P`` cap overflow; overflowed pairs drain to
+the host engines (the reference drains to its RDKit CPU fallback,
+``substruct_search_internal.h:200-259``).
+
+Bond compatibility is precompiled per query bond into a 16-entry
+bitmask over the target bond code ``kind + 8*in_ring`` (kind: 0 none,
+1 single, 2 double, 3 triple, 4 aromatic) — the device test is one
+shift-and-mask (the role of the reference's ``BoolInstruction``
+sequences for bonds, ``boolean_tree.cuh:89-258``).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from nvmolkit_tpu.chem.smarts import LEAF, Expr, QueryMol
+from nvmolkit_tpu.ops.substruct import (
+    TargetFeatures,
+    _bfs_order,
+    _eval_expr,
+    _is_connected,
+    label_matrix,
+)
+
+QUERY_BUCKETS = (8, 16, 32)
+EDGE_BUCKETS = (1, 2, 4)
+
+
+def _bond_code_mask(qbond) -> int:
+    """16-bit mask over target bond codes accepted by this query bond."""
+    mask = 0
+    for code in range(1, 16):
+        kind = code & 7
+        ring = bool(code >> 3)
+        if kind == 0 or kind > 4:
+            continue
+        if "any" in qbond.kinds:
+            cond = True
+        else:
+            cond = False
+            for k in qbond.kinds:
+                if k == "ring":
+                    cond |= ring
+                else:
+                    cond |= kind == {
+                        "single": 1, "double": 2, "triple": 3, "aromatic": 4
+                    }[k]
+        ok = (not cond) if qbond.negate else cond
+        if ok:
+            mask |= 1 << code
+    return mask
+
+
+def _has_recursive(q: QueryMol) -> bool:
+    def walk(e: Expr) -> bool:
+        if e.kind == LEAF:
+            return e.prop == "recursive"
+        return any(walk(c) for c in e.children)
+
+    return any(walk(a.expr) for a in q.atoms)
+
+
+@dataclasses.dataclass
+class CompiledQuery:
+    """Host-compiled traversal plan for the device join."""
+
+    nq: int
+    slot_atom: np.ndarray     # [nq] query atom for each traversal slot
+    perm: np.ndarray          # [nq] slot holding query atom q
+    back_slot: np.ndarray     # [nq, E] earlier slot per back edge (-1 pad)
+    back_mask: np.ndarray     # [nq, E] uint16 bond-code masks
+    n_edges: int              # max back edges of any slot
+    has_recursive: bool
+
+
+def compile_query(q: QueryMol) -> CompiledQuery | None:
+    """None when the query cannot run on device (disconnected, too
+    large, or needing per-target recursive evaluation order)."""
+    if not _is_connected(q) or q.num_atoms > max(QUERY_BUCKETS):
+        return None
+    nq = q.num_atoms
+    # traversal order needs candidate counts; use a neutral all-ones
+    # label so compilation is target-independent (start atom choice is
+    # a heuristic only — correctness never depends on it)
+    order = _bfs_order(q, np.ones((1, nq), bool))
+    n_edges = max((len(back) for _, back in order[1:]), default=1)
+    n_edges = max(1, n_edges)
+    E = next((e for e in EDGE_BUCKETS if e >= n_edges), None)
+    if E is None:
+        return None
+    slot_atom = np.asarray([qa for qa, _ in order], np.int32)
+    perm = np.empty(nq, np.int64)
+    for slot, (qa, _) in enumerate(order):
+        perm[qa] = slot
+    back_slot = np.full((nq, E), -1, np.int32)
+    back_mask = np.zeros((nq, E), np.uint16)
+    for i, (_qa, back) in enumerate(order):
+        for e, (slot, bi) in enumerate(back):
+            back_slot[i, e] = slot
+            back_mask[i, e] = _bond_code_mask(q.bonds[bi])
+    return CompiledQuery(
+        nq=nq, slot_atom=slot_atom, perm=perm, back_slot=back_slot,
+        back_mask=back_mask, n_edges=E, has_recursive=_has_recursive(q),
+    )
+
+
+def target_device_arrays(tf: TargetFeatures, T: int) -> np.ndarray:
+    """adj_code [T, T] uint8 (kind + 8*in_ring; 0 = no bond), cached on
+    the TargetFeatures — the reference's packed-bond target compilation
+    (``src/substruct/packed_bonds.h``)."""
+    cache = getattr(tf, "_device_arrays", None)
+    if cache is not None and cache[0] == T:
+        return cache[1]
+    n = tf.n_atoms
+    code = tf.adj_kind.astype(np.uint8) + (tf.adj_ring.astype(np.uint8) << 3)
+    code = code * (tf.adj_kind != 0)
+    adj_code = np.zeros((T, T), np.uint8)
+    adj_code[:n, :n] = code
+    tf._device_arrays = (T, adj_code)
+    return adj_code
+
+
+class _StackedFeatures:
+    """TargetFeatures stand-in whose feature arrays are [B, T] stacks —
+    lets ``_eval_expr`` paint labels for a whole target bucket in one
+    vectorized pass (the reference's warp-parallel graph_labeler)."""
+
+    def __init__(self, feats: dict, n_atoms: int):
+        self.feats = feats
+        self.n_atoms = n_atoms
+
+
+def stacked_labels(
+    q: QueryMol, cq: CompiledQuery, tfs: list[TargetFeatures], T: int
+) -> np.ndarray:
+    """[B, Q_slots, T] candidate labels in traversal-slot order."""
+    names = tfs[0].feats.keys()
+    stacked = {}
+    for name in names:
+        arr = np.zeros((len(tfs), T), tfs[0].feats[name].dtype)
+        for b, tf in enumerate(tfs):
+            arr[b, : tf.n_atoms] = tf.feats[name]
+        stacked[name] = arr
+    sf = _StackedFeatures(stacked, T)
+    atom_mask = np.zeros((len(tfs), T), bool)
+    for b, tf in enumerate(tfs):
+        atom_mask[b, : tf.n_atoms] = True
+    cols = [
+        (_eval_expr(q.atoms[qa].expr, sf) & atom_mask)
+        for qa in cq.slot_atom
+    ]
+    return np.stack(cols, axis=1)
+
+
+@partial(jax.jit, static_argnames=("P",))
+def _device_gsi_join(labels, adj_code, back_slot, back_mask, nq, P):
+    """One jitted BFS join over B (target, query) pairs.
+
+    labels    [B, Q, T] bool   slot-ordered candidate matrix
+    adj_code  [B, T, T] uint8  target bond codes (0 = no bond)
+    back_slot [B, Q, E] int32  earlier traversal slots (-1 pad; col 0 =
+                               tree parent, always set for slots < nq)
+    back_mask [B, Q, E] uint16 bond-code masks
+    nq        [B] int32        live slot count per pair
+
+    Returns (frontier [B, P, Q] int32, valid [B, P] bool, overflow [B]).
+
+    TPU-shaped: NO elementwise gathers (dynamic-index gathers lower to
+    serialized loops on TPU — measured 17 s/launch in a neighbor-list
+    formulation). Row selection is one-hot einsum on the MXU (exact:
+    bf16 holds ints <= 256), compaction is ``lax.top_k`` on
+    first-true-wins keys. Candidates are dense over the target axis;
+    the tree-parent bond mask restricts them to real neighbors (bond
+    code 0 is never accepted).
+    """
+    B, Q, T = labels.shape
+    E = back_slot.shape[2]
+    iota_T = jnp.arange(T)
+
+    def topk_compact(flat):
+        """First P true positions per row: (idx [B,P], valid [B,P])."""
+        M = flat.shape[1]
+        keys = flat.astype(jnp.int32) * (M + 1) - jnp.arange(M, dtype=jnp.int32)
+        v, idx = jax.lax.top_k(keys, P)
+        return idx.astype(jnp.int32), v > 0
+
+    cand0 = labels[:, 0, :]
+    overflow = jnp.sum(cand0, axis=-1) > P
+    idx0, valid = topk_compact(
+        jnp.pad(cand0, ((0, 0), (0, P - T))) if T < P else cand0
+    )
+    t0 = jnp.minimum(idx0, T - 1)
+    frontier = jnp.full((B, P, Q), -1, jnp.int32)
+    frontier = frontier.at[:, :, 0].set(jnp.where(valid, t0, -1))
+    used = (t0[:, :, None] == iota_T[None, None, :]) & valid[:, :, None]
+
+    iota_P = jnp.arange(P)
+    iota_Q = jnp.arange(Q)
+    for i in range(1, Q):
+        stepping = i < nq                                    # [B]
+        ok = (
+            valid[:, :, None]
+            & jnp.broadcast_to(labels[:, i, :][:, None, :], (B, P, T))
+            & ~used
+        )
+        for e in range(E):
+            se = back_slot[:, i, e]                          # [B]
+            has = (se >= 0)[:, None, None]
+            sel_q = (iota_Q[None, :] == jnp.maximum(se, 0)[:, None])  # [B, Q]
+            te = (
+                jnp.sum((frontier + 1) * sel_q[:, None, :], axis=2) - 1
+            )                                                # [B, P]
+            te_oh = (
+                (te[:, :, None] == iota_T[None, None, :]) & (te >= 0)[:, :, None]
+            )
+            allowed = (
+                (back_mask[:, i, e].astype(jnp.uint32)[:, None, None]
+                 >> adj_code.astype(jnp.uint32)) & 1
+            ).astype(jnp.bfloat16)                           # [B, T, T]
+            eo = jnp.einsum(
+                "bpt,btu->bpu", te_oh.astype(jnp.bfloat16), allowed,
+                preferred_element_type=jnp.float32,
+            ) > 0.5
+            ok &= jnp.where(has, eo, True)
+
+        flat = ok.reshape(B, P * T)
+        cnt = jnp.sum(flat, axis=-1)
+        overflow |= stepping & (cnt > P)
+        sidx, sval = topk_compact(flat)
+        p_sel = sidx // T
+        t_sel = sidx % T
+        p_oh = (p_sel[:, :, None] == iota_P[None, None, :]).astype(jnp.bfloat16)
+        nf = jnp.einsum(
+            "bkp,bpq->bkq", p_oh, (frontier + 1).astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+        nf = jnp.round(nf).astype(jnp.int32) - 1
+        nf = nf.at[:, :, i].set(jnp.where(sval, t_sel, -1))
+        nu = jnp.einsum(
+            "bkp,bpt->bkt", p_oh, used.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        ) > 0.5
+        nu |= (t_sel[:, :, None] == iota_T[None, None, :]) & sval[:, :, None]
+        frontier = jnp.where(stepping[:, None, None], nf, frontier)
+        used = jnp.where(stepping[:, None, None], nu, used)
+        valid = jnp.where(stepping[:, None], sval, valid)
+
+    return frontier, valid, overflow
+
+
+def uniquify_rows(rows: np.ndarray, max_matches: int) -> tuple[np.ndarray, bool]:
+    """Dedup matches by matched-atom set (RDKit uniquify semantics) and
+    cap at max_matches. Returns (rows, overflowed_by_cap)."""
+    if len(rows):
+        seen: set[frozenset] = set()
+        keep = []
+        for r, row in enumerate(rows):
+            key = frozenset(row.tolist())
+            if key not in seen:
+                seen.add(key)
+                keep.append(r)
+        rows = rows[keep]
+    if len(rows) > max_matches:
+        return rows[:max_matches], True
+    return rows, False
+
+
+def device_substruct_matches(
+    pairs: list[tuple[int, int]],
+    tfs: list[TargetFeatures],
+    qmols: list[QueryMol],
+    compiled: list[CompiledQuery | None],
+    max_matches: int = 10000,
+    uniquify: bool = True,
+    frontier_cap: int = 256,
+    launch_pairs: int = 2048,
+) -> tuple[
+    dict[tuple[int, int], np.ndarray],
+    set[tuple[int, int]],
+    set[tuple[int, int]],
+]:
+    """Run the device join over (target_idx, query_idx) pairs.
+
+    Returns (matches dict, unresolved pairs, capped pairs). Unresolved =
+    overflowed frontier, oversized target/degree, or unsupported query —
+    callers drain those through a host engine. Capped = resolved but
+    truncated at ``max_matches`` (reported as overflowed, reference
+    behavior). Launches are padded to a power of two of pairs so jit
+    recompiles stay bounded per (T, Q, E) bucket.
+    """
+    from nvmolkit_tpu.utils.config import HardwareOptions
+
+    t_buckets = HardwareOptions().atomBuckets
+    unresolved: set[tuple[int, int]] = set()
+    capped: set[tuple[int, int]] = set()
+    results: dict[tuple[int, int], np.ndarray] = {}
+
+    # group pairs by (T, Q, E) shape bucket
+    grouped: dict[tuple[int, int, int], list[tuple[int, int]]] = {}
+    label_cache: dict[tuple[int, int], np.ndarray] = {}
+    for ti, qi in pairs:
+        cq = compiled[qi]
+        tf = tfs[ti]
+        if cq is None or cq.has_recursive:
+            unresolved.add((ti, qi))
+            continue
+        T = next((b for b in t_buckets if tf.n_atoms <= b), None)
+        if T is None:
+            unresolved.add((ti, qi))
+            continue
+        Q = next(b for b in QUERY_BUCKETS if cq.nq <= b)
+        grouped.setdefault((T, Q, cq.n_edges), []).append((ti, qi))
+
+    for (T, Q, E), bucket_pairs in grouped.items():
+        # stacked label painting once per (query, target-bucket)
+        by_query: dict[int, list[int]] = {}
+        for ti, qi in bucket_pairs:
+            by_query.setdefault(qi, []).append(ti)
+        pair_labels: dict[tuple[int, int], np.ndarray] = {}
+        for qi, tids in by_query.items():
+            labs = stacked_labels(
+                qmols[qi], compiled[qi], [tfs[t] for t in tids], T
+            )  # [Bt, nq, T]
+            for b, ti in enumerate(tids):
+                pair_labels[(ti, qi)] = labs[b]
+
+        for start in range(0, len(bucket_pairs), launch_pairs):
+            chunk = bucket_pairs[start : start + launch_pairs]
+            B = 1 << max(3, int(np.ceil(np.log2(len(chunk)))))
+            B = min(B, launch_pairs)
+            labels = np.zeros((B, Q, T), bool)
+            adj_code = np.zeros((B, T, T), np.uint8)
+            back_slot = np.full((B, Q, E), -1, np.int32)
+            back_mask = np.zeros((B, Q, E), np.uint16)
+            nq_arr = np.zeros(B, np.int32)
+            for b, (ti, qi) in enumerate(chunk):
+                cq = compiled[qi]
+                labels[b, : cq.nq] = pair_labels[(ti, qi)]
+                adj_code[b] = target_device_arrays(tfs[ti], T)
+                back_slot[b, : cq.nq] = cq.back_slot
+                back_mask[b, : cq.nq] = cq.back_mask
+                nq_arr[b] = cq.nq
+            frontier, valid, overflow = _device_gsi_join(
+                jnp.asarray(labels), jnp.asarray(adj_code),
+                jnp.asarray(back_slot), jnp.asarray(back_mask),
+                jnp.asarray(nq_arr), frontier_cap,
+            )
+            frontier, valid, overflow = jax.device_get(
+                (frontier, valid, overflow)
+            )
+            for b, (ti, qi) in enumerate(chunk):
+                if overflow[b]:
+                    unresolved.add((ti, qi))
+                    continue
+                cq = compiled[qi]
+                rows = frontier[b][valid[b]][:, : cq.nq]
+                rows = rows[:, cq.perm].astype(np.int32)
+                if uniquify:
+                    rows, was_capped = uniquify_rows(rows, max_matches)
+                elif len(rows) > max_matches:
+                    rows, was_capped = rows[:max_matches], True
+                else:
+                    was_capped = False
+                if was_capped:
+                    capped.add((ti, qi))
+                results[(ti, qi)] = rows
+    return results, unresolved, capped

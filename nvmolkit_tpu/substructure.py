@@ -47,6 +47,11 @@ class SubstructSearchConfig:
     uniquify: bool = True
     algorithm: SubstructAlgorithm = SubstructAlgorithm.GSI
     useNativeEngine: bool = True
+    # run the BFS join on the accelerator (ops/substruct_device.py —
+    # the reference's GPU GSI kernel role); unsupported/overflowed
+    # pairs drain to the host engines
+    useDeviceEngine: bool = False
+    deviceFrontierCap: int = 256
 
 
 @dataclasses.dataclass
@@ -116,9 +121,27 @@ def getSubstructMatches(
         and native_substruct_available()
     )
 
+    device_matches: dict[tuple[int, int], "np.ndarray"] = {}
+    device_capped: set[tuple[int, int]] = set()
+    if cfg.useDeviceEngine and cfg.algorithm == SubstructAlgorithm.GSI:
+        from nvmolkit_tpu.ops.substruct_device import (
+            compile_query,
+            device_substruct_matches,
+        )
+
+        compiled = [compile_query(q) for q in qmols]
+        all_pairs = [
+            (ti, qi) for ti in range(len(tfs)) for qi in range(len(qmols))
+        ]
+        device_matches, _unresolved, device_capped = device_substruct_matches(
+            all_pairs, tfs, qmols, compiled,
+            max_matches=cfg.maxMatches, uniquify=cfg.uniquify,
+            frontier_cap=cfg.deviceFrontierCap,
+        )
+
     native_matches = None
     native_overflowed: set[tuple[int, int]] = set()
-    if use_native:
+    if use_native and not cfg.useDeviceEngine:
         # disconnected queries go through the Python component combiner
         connected_ids = [qi for qi, q in enumerate(qmols) if _is_connected(q)]
         if connected_ids:
@@ -149,7 +172,10 @@ def getSubstructMatches(
     )
     for ti, tf in enumerate(tfs):
         for qi, q in enumerate(qmols):
-            if native_matches is not None and (ti, qi) in native_matches:
+            if (ti, qi) in device_matches:
+                m = device_matches[(ti, qi)]
+                over = (ti, qi) in device_capped
+            elif native_matches is not None and (ti, qi) in native_matches:
                 m = native_matches[(ti, qi)]
                 over = (ti, qi) in native_overflowed
             else:
