@@ -74,3 +74,42 @@ def test_batched_forcefield_set_positions(mols_with_confs):
     ff.set_positions(pos + 0.01)
     with pytest.raises(ValueError):
         ff.set_positions(pos[:2])
+
+
+def test_optimize_chunked_matches_unchunked():
+    """batchSize chunking must not change minimization results (no RNG
+    in the minimize path; chunk boundaries only split launches)."""
+    import numpy as np
+
+    from nvmolkit_tpu.chem import mol_from_smiles
+    from nvmolkit_tpu.uffOptimization import UFFOptimizeMoleculesConfs
+    from nvmolkit_tpu.utils.config import HardwareOptions
+
+    def build():
+        rng = np.random.default_rng(42)
+        mols = []
+        for s in ["CCO", "CCN", "CCCC", "c1ccccc1", "CC(C)O", "CCOC"]:
+            m = mol_from_smiles(s)
+            n = m.num_atoms
+            # zig-zag chain with ~bond-length spacing: well-conditioned
+            # start (random overlaps make the trajectory chaotic and
+            # sensitive to batch-shape f32 rounding)
+            base = np.stack(
+                [np.arange(n) * 1.5, (np.arange(n) % 2) * 0.8, np.zeros(n)],
+                axis=1,
+            ) + rng.random((n, 3)) * 0.05
+            m.add_conformer(base)
+            m.add_conformer(base + 0.01)
+            mols.append(m)
+        return mols
+
+    r_full, d_full = UFFOptimizeMoleculesConfs(build(), maxIters=150)
+    r_chunk, d_chunk = UFFOptimizeMoleculesConfs(
+        build(), maxIters=150, hardwareOptions=HardwareOptions(batchSize=3)
+    )
+    e_full = np.asarray(d_full.energies)
+    e_chunk = np.asarray(d_chunk.energies)
+    np.testing.assert_allclose(e_chunk, e_full, rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(
+        np.asarray(d_full.converged), np.asarray(d_chunk.converged)
+    )
