@@ -171,10 +171,38 @@ def bench_morgan() -> dict:
     }
 
 
+def bench_etkdg() -> dict:
+    """ETKDG end-to-end, 1k molecules (BASELINE.md row 5): smoothing ->
+    eigensolver coordgen -> DG/ETK minimize -> stereo checks."""
+    from nvmolkit_tpu.chem.native import mols_from_smiles
+    from nvmolkit_tpu.embedMolecules import EmbedMolecules
+
+    smiles = _bench_mols(1024)
+    confs = 4
+    # warm with IDENTICAL parameters on a fresh copy: the retry ladder's
+    # compiled shapes depend on (batch, confs, iteration) settings
+    EmbedMolecules(mols_from_smiles(smiles), confsPerMolecule=confs, maxIterations=8)
+    mols = mols_from_smiles(smiles)
+    t0 = time.perf_counter()
+    res = EmbedMolecules(mols, confsPerMolecule=confs, maxIterations=8)
+    wall = time.perf_counter() - t0
+    produced = int(np.asarray(res.conf_mask).sum())
+    return {
+        "metric": "etkdg_e2e_1k",
+        "value": produced / wall,
+        "unit": "conformers/sec",
+        "vs_baseline": None,
+        "wall_seconds": wall,
+        "produced": produced,
+        "requested": len(smiles) * confs,
+    }
+
+
 _WORKERS = {
     "mmff": ("bench_mmff", 1500),
     "butina": ("bench_fused_butina", 900),
     "morgan": ("bench_morgan", 900),
+    "etkdg": ("bench_etkdg", 2400),
 }
 
 

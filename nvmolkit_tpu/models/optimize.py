@@ -103,6 +103,12 @@ def optimize_molecules_confs(
         for start in range(0, len(systems), c):
             chunked.append((bucket, systems[start : start + c]))
 
+    # Two-phase execution: dispatch every chunk's phase-1 minimize
+    # before fetching any chunk's results, so the host-side assembly of
+    # chunk N+1 (term batching, pos0 fill, transfers) overlaps chunk N's
+    # device compute (the reference overlaps via per-GPU OpenMP workers,
+    # ``src/minimizer/bfgs_mmff.cpp:116-157``).
+    pending: list[tuple[list[SystemRef], int, Callable]] = []
     for bucket, systems in chunked:
         S = len(systems)
         n_pad = 0
@@ -128,21 +134,34 @@ def optimize_molecules_confs(
         batch = expand_batch_to_systems(ubatch, sys2mol, S + n_pad)
 
         pos0 = np.zeros((S + n_pad, bucket, 3), dtype=np.float32)
-        for k, s in enumerate(systems):
-            m = mols[s.mol_idx]
-            pos0[k, : m.num_atoms] = m.conformers[s.conf_idx]
+        # fill grouped by molecule: one stack + one fancy-index per
+        # unique molecule instead of a python slice-copy per system
+        k = 0
+        while k < S:
+            mi = systems[k].mol_idx
+            j = k
+            while j < S and systems[j].mol_idx == mi:
+                j += 1
+            m = mols[mi]
+            confs = np.stack(m.conformers)  # [C, n, 3]
+            cids = [systems[t].conf_idx for t in range(k, j)]
+            pos0[k:j, : m.num_atoms] = confs[cids]
+            k = j
         if n_pad:
             pos0[S:] = pos0[0]
 
         if multi:
-            res = distributed_minimize(
-                energy_and_grad_fn, batch, pos0, batch.atom_mask, devices,
-                max_iters=max_iters, grad_tol=grad_tol,
-            )
+            def finish(batch=batch, pos0=pos0):
+                return distributed_minimize(
+                    energy_and_grad_fn, batch, pos0, batch.atom_mask,
+                    devices, max_iters=max_iters, grad_tol=grad_tol,
+                )
         else:
-            from nvmolkit_tpu.ops.minimize_driver import minimize_compacting
+            from nvmolkit_tpu.ops.minimize_driver import (
+                minimize_compacting_start,
+            )
 
-            res = minimize_compacting(
+            finish = minimize_compacting_start(
                 energy_and_grad_fn,
                 jnp.asarray(pos0),
                 batch.atom_mask,
@@ -151,6 +170,10 @@ def optimize_molecules_confs(
                 grad_tol=grad_tol,
                 backend=backend,
             )
+        pending.append((systems, bucket, finish))
+
+    for systems, bucket, finish in pending:
+        res = finish()
         # one consolidated device->host fetch (3 separate np.asarray calls
         # each pay a full host<->device round trip)
         e, conv, pos = jax.device_get((res.energies, res.converged, res.positions))

@@ -41,7 +41,7 @@ def _gather_batch(batch, idx: np.ndarray, S: int):
     return jax.tree_util.tree_map(take, batch)
 
 
-def minimize_compacting(
+def minimize_compacting_start(
     energy_and_grad_fn,
     positions: jnp.ndarray,   # [S, A, D]
     atom_mask: jnp.ndarray,
@@ -50,11 +50,17 @@ def minimize_compacting(
     grad_tol: float = 1e-4,
     backend: str = "flat",
     phase1_iters: int = 48,
-) -> BfgsResult:
+):
+    """Dispatch phase 1 without blocking; returns a finish() thunk.
+
+    Splitting dispatch from the straggler sync lets a driver overlap the
+    host-side assembly of the NEXT chunk with this chunk's phase-1
+    device compute (the reference gets the same overlap from per-GPU
+    OpenMP worker threads, ``bfgs_mmff.cpp:116-157``; XLA async dispatch
+    plays that role here)."""
     if backend not in BACKENDS:
         raise ValueError(f"backend must be one of {sorted(BACKENDS)}, got {backend!r}")
     minimize = BACKENDS[backend]
-    S = positions.shape[0]
     phase1 = min(phase1_iters, max_iters)
     if backend == "flat":
         # the flat backend counts device steps (energy evals), not outer
@@ -67,6 +73,39 @@ def minimize_compacting(
         energy_and_grad_fn, positions, atom_mask,
         grad_tol=grad_tol, energy_args=batch, **phase_kw,
     )
+
+    def finish() -> BfgsResult:
+        return _finish_stragglers(
+            minimize, energy_and_grad_fn, res, atom_mask, batch,
+            max_iters=max_iters, grad_tol=grad_tol, backend=backend,
+            phase1=phase1,
+        )
+
+    return finish
+
+
+def minimize_compacting(
+    energy_and_grad_fn,
+    positions: jnp.ndarray,   # [S, A, D]
+    atom_mask: jnp.ndarray,
+    batch,
+    max_iters: int = 200,
+    grad_tol: float = 1e-4,
+    backend: str = "flat",
+    phase1_iters: int = 48,
+) -> BfgsResult:
+    return minimize_compacting_start(
+        energy_and_grad_fn, positions, atom_mask, batch,
+        max_iters=max_iters, grad_tol=grad_tol, backend=backend,
+        phase1_iters=phase1_iters,
+    )()
+
+
+def _finish_stragglers(
+    minimize, energy_and_grad_fn, res, atom_mask, batch,
+    max_iters, grad_tol, backend, phase1,
+) -> BfgsResult:
+    S = res.positions.shape[0]
     if phase1 >= max_iters:
         return res
     conv = np.asarray(res.converged)

@@ -193,6 +193,8 @@ def _device_gsi_join(labels, adj_code, back_slot, back_mask, nq, P):
     B, Q, T = labels.shape
     E = back_slot.shape[2]
     iota_T = jnp.arange(T)
+    iota_P = jnp.arange(P)
+    iota_Q = jnp.arange(Q)
 
     def topk_compact(flat):
         """First P true positions per row: (idx [B,P], valid [B,P])."""
@@ -211,34 +213,44 @@ def _device_gsi_join(labels, adj_code, back_slot, back_mask, nq, P):
     frontier = frontier.at[:, :, 0].set(jnp.where(valid, t0, -1))
     used = (t0[:, :, None] == iota_T[None, None, :]) & valid[:, :, None]
 
-    iota_P = jnp.arange(P)
-    iota_Q = jnp.arange(Q)
-    for i in range(1, Q):
+    # One scan step per traversal slot (scan keeps the compiled program
+    # ~Q-times smaller than the unrolled loop: 66 s -> ~4 s cold compile
+    # per shape bucket). All E back-edges are checked by ONE batched
+    # einsum pair with e folded into the batch axis.
+    def step(carry, i):
+        frontier, used, valid, overflow = carry
         stepping = i < nq                                    # [B]
+        lab_i = jax.lax.dynamic_slice_in_dim(labels, i, 1, 1)[:, 0, :]
         ok = (
             valid[:, :, None]
-            & jnp.broadcast_to(labels[:, i, :][:, None, :], (B, P, T))
+            & jnp.broadcast_to(lab_i[:, None, :], (B, P, T))
             & ~used
         )
-        for e in range(E):
-            se = back_slot[:, i, e]                          # [B]
-            has = (se >= 0)[:, None, None]
-            sel_q = (iota_Q[None, :] == jnp.maximum(se, 0)[:, None])  # [B, Q]
-            te = (
-                jnp.sum((frontier + 1) * sel_q[:, None, :], axis=2) - 1
-            )                                                # [B, P]
-            te_oh = (
-                (te[:, :, None] == iota_T[None, None, :]) & (te >= 0)[:, :, None]
-            )
-            allowed = (
-                (back_mask[:, i, e].astype(jnp.uint32)[:, None, None]
-                 >> adj_code.astype(jnp.uint32)) & 1
-            ).astype(jnp.bfloat16)                           # [B, T, T]
-            eo = jnp.einsum(
-                "bpt,btu->bpu", te_oh.astype(jnp.bfloat16), allowed,
-                preferred_element_type=jnp.float32,
-            ) > 0.5
-            ok &= jnp.where(has, eo, True)
+        bs_i = jax.lax.dynamic_slice_in_dim(back_slot, i, 1, 1)[:, 0, :]
+        bm_i = jax.lax.dynamic_slice_in_dim(back_mask, i, 1, 1)[:, 0, :]
+        # matched target atom of each back-edge's earlier slot: one-hot
+        # row-select on the MXU (bf16 holds ints <= 256 exactly)
+        sel_q = (iota_Q[None, None, :] == jnp.maximum(bs_i, 0)[:, :, None])
+        te = jnp.einsum(
+            "beq,bpq->bep", sel_q.astype(jnp.bfloat16),
+            (frontier + 1).astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+        te = jnp.round(te).astype(jnp.int32) - 1             # [B, E, P]
+        te_oh = (
+            (te[:, :, :, None] == iota_T[None, None, None, :])
+            & (te >= 0)[:, :, :, None]
+        )                                                    # [B, E, P, T]
+        allowed = (
+            (bm_i.astype(jnp.uint32)[:, :, None, None]
+             >> adj_code.astype(jnp.uint32)[:, None, :, :]) & 1
+        ).astype(jnp.bfloat16)                               # [B, E, T, T]
+        eo = jnp.einsum(
+            "bept,betu->bepu", te_oh.astype(jnp.bfloat16), allowed,
+            preferred_element_type=jnp.float32,
+        ) > 0.5
+        has = (bs_i >= 0)[:, :, None, None]
+        ok &= jnp.all(jnp.where(has, eo, True), axis=1)
 
         flat = ok.reshape(B, P * T)
         cnt = jnp.sum(flat, axis=-1)
@@ -252,7 +264,10 @@ def _device_gsi_join(labels, adj_code, back_slot, back_mask, nq, P):
             preferred_element_type=jnp.float32,
         )
         nf = jnp.round(nf).astype(jnp.int32) - 1
-        nf = nf.at[:, :, i].set(jnp.where(sval, t_sel, -1))
+        nf = jnp.where(
+            (iota_Q[None, None, :] == i) & sval[:, :, None],
+            t_sel[:, :, None], nf,
+        )
         nu = jnp.einsum(
             "bkp,bpt->bkt", p_oh, used.astype(jnp.bfloat16),
             preferred_element_type=jnp.float32,
@@ -261,7 +276,11 @@ def _device_gsi_join(labels, adj_code, back_slot, back_mask, nq, P):
         frontier = jnp.where(stepping[:, None, None], nf, frontier)
         used = jnp.where(stepping[:, None, None], nu, used)
         valid = jnp.where(stepping[:, None], sval, valid)
+        return (frontier, used, valid, overflow), None
 
+    (frontier, used, valid, overflow), _ = jax.lax.scan(
+        step, (frontier, used, valid, overflow), jnp.arange(1, Q)
+    )
     return frontier, valid, overflow
 
 
@@ -289,7 +308,7 @@ def device_substruct_matches(
     compiled: list[CompiledQuery | None],
     max_matches: int = 10000,
     uniquify: bool = True,
-    frontier_cap: int = 256,
+    frontier_cap: int = 128,
     launch_pairs: int = 2048,
 ) -> tuple[
     dict[tuple[int, int], np.ndarray],
@@ -328,6 +347,12 @@ def device_substruct_matches(
         Q = next(b for b in QUERY_BUCKETS if cq.nq <= b)
         grouped.setdefault((T, Q, cq.n_edges), []).append((ti, qi))
 
+    # Two-phase pipeline: dispatch every launch before fetching any —
+    # the host assembly of launch N+1 and the result decode of launch N
+    # overlap launch N's device compute (XLA async dispatch; the
+    # reference pipelines minibatches the same way with CUDA streams,
+    # ``src/substruct/gpu_executor.h:40-105``).
+    in_flight: list[tuple[list[tuple[int, int]], tuple]] = []
     for (T, Q, E), bucket_pairs in grouped.items():
         # stacked label painting once per (query, target-bucket)
         by_query: dict[int, list[int]] = {}
@@ -357,28 +382,29 @@ def device_substruct_matches(
                 back_slot[b, : cq.nq] = cq.back_slot
                 back_mask[b, : cq.nq] = cq.back_mask
                 nq_arr[b] = cq.nq
-            frontier, valid, overflow = _device_gsi_join(
+            out = _device_gsi_join(
                 jnp.asarray(labels), jnp.asarray(adj_code),
                 jnp.asarray(back_slot), jnp.asarray(back_mask),
                 jnp.asarray(nq_arr), frontier_cap,
             )
-            frontier, valid, overflow = jax.device_get(
-                (frontier, valid, overflow)
-            )
-            for b, (ti, qi) in enumerate(chunk):
-                if overflow[b]:
-                    unresolved.add((ti, qi))
-                    continue
-                cq = compiled[qi]
-                rows = frontier[b][valid[b]][:, : cq.nq]
-                rows = rows[:, cq.perm].astype(np.int32)
-                if uniquify:
-                    rows, was_capped = uniquify_rows(rows, max_matches)
-                elif len(rows) > max_matches:
-                    rows, was_capped = rows[:max_matches], True
-                else:
-                    was_capped = False
-                if was_capped:
-                    capped.add((ti, qi))
-                results[(ti, qi)] = rows
+            in_flight.append((chunk, out))
+
+    for chunk, out in in_flight:
+        frontier, valid, overflow = jax.device_get(out)
+        for b, (ti, qi) in enumerate(chunk):
+            if overflow[b]:
+                unresolved.add((ti, qi))
+                continue
+            cq = compiled[qi]
+            rows = frontier[b][valid[b]][:, : cq.nq]
+            rows = rows[:, cq.perm].astype(np.int32)
+            if uniquify:
+                rows, was_capped = uniquify_rows(rows, max_matches)
+            elif len(rows) > max_matches:
+                rows, was_capped = rows[:max_matches], True
+            else:
+                was_capped = False
+            if was_capped:
+                capped.add((ti, qi))
+            results[(ti, qi)] = rows
     return results, unresolved, capped

@@ -7,6 +7,7 @@ that becomes: one ``jax.sharding.Mesh``, molecule batches sharded over the
 ``jax.device_put`` for "consolidate onto target device".
 """
 
+from nvmolkit_tpu.parallel import multihost
 from nvmolkit_tpu.parallel.mesh import data_parallel_mesh, shard_rows
 
-__all__ = ["data_parallel_mesh", "shard_rows"]
+__all__ = ["data_parallel_mesh", "multihost", "shard_rows"]

@@ -51,7 +51,7 @@ class SubstructSearchConfig:
     # the reference's GPU GSI kernel role); unsupported/overflowed
     # pairs drain to the host engines
     useDeviceEngine: bool = False
-    deviceFrontierCap: int = 256
+    deviceFrontierCap: int = 128
 
 
 @dataclasses.dataclass

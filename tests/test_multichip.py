@@ -135,3 +135,46 @@ def test_tfd_device_ids(eight_device_opts):
     multi = GetTFDMatrices(mols, hardwareOptions=eight_device_opts)
     for a, b in zip(single, multi):
         np.testing.assert_allclose(a.numpy(), b.numpy(), atol=1e-5)
+
+
+class TestMultihost:
+    """Single-process semantics of the multi-host helpers (a real DCN
+    pod run exercises the same code paths with process_count > 1)."""
+
+    def test_initialize_single_host_noop(self):
+        from nvmolkit_tpu.parallel import multihost
+
+        assert multihost.initialize() is False  # not distributed
+        assert multihost.initialize() is False  # idempotent
+
+    def test_local_rows_partition(self):
+        from nvmolkit_tpu.parallel import multihost
+
+        start, end = multihost.local_rows(37)
+        assert (start, end) == (0, 37)  # single process owns everything
+
+    def test_local_rows_blocking_math(self):
+        # the blocking rule itself, independent of jax.process_*
+        def rows(p, n_proc, n_total):
+            base, extra = divmod(n_total, n_proc)
+            start = p * base + min(p, extra)
+            return start, start + base + (1 if p < extra else 0)
+
+        for n_proc in (1, 2, 3, 4, 8):
+            for n_total in (0, 1, 7, 8, 37, 64):
+                spans = [rows(p, n_proc, n_total) for p in range(n_proc)]
+                # contiguous, complete, balanced within 1
+                assert spans[0][0] == 0 and spans[-1][1] == n_total
+                for (a, b), (c, d) in zip(spans, spans[1:]):
+                    assert b == c
+                sizes = [b - a for a, b in spans]
+                assert max(sizes) - min(sizes) <= 1
+
+    def test_global_array_round_trip(self):
+        from nvmolkit_tpu.parallel import multihost
+
+        mesh = multihost.global_mesh()
+        x = np.arange(64 * 3, dtype=np.float32).reshape(64, 3)
+        g = multihost.global_array(x, 64, mesh)
+        assert g.shape == (64, 3)
+        np.testing.assert_array_equal(multihost.all_gather_rows(g), x)
