@@ -24,38 +24,51 @@ from nvmolkit_tpu.types import AsyncResult
 from nvmolkit_tpu.utils.config import HardwareOptions
 
 
-class _SystemConstraintView:
-    """Per-system constraint editing view (the reference's per-molecule
-    element views, ``batchedForcefield.py:171-289``)."""
+class _BatchElementBase:
+    """Per-MOLECULE constraint editing view (the reference's element
+    views, ``batchedForcefield.py:171-289``). ``ff[i]`` addresses
+    molecule ``i``; a constraint added here applies to every conformer
+    (system) of that molecule, matching the reference contract."""
 
-    def __init__(self, parent: "_BatchedForcefieldBase", sys_idx: int):
+    def __init__(self, parent: "_BatchedForcefieldBase", mol_idx: int):
         self._parent = parent
-        self._idx = sys_idx
+        self._idx = mol_idx
+
+    @property
+    def num_atoms(self) -> int:
+        return self._parent.molecules[self._idx].num_atoms
 
     def _check_atoms(self, *atoms):
-        mi, _ = self._parent.systems[self._idx]
-        n = self._parent.molecules[mi].num_atoms
+        n = self.num_atoms
         for a in atoms:
             if not (0 <= a < n):
                 raise ValueError(f"atom index {a} out of range (molecule has {n})")
+
+    def _systems(self):
+        return [
+            k for k, (mi, _ci) in enumerate(self._parent.systems)
+            if mi == self._idx
+        ]
 
     def add_distance_constraint(
         self, idx1: int, idx2: int, minLen: float, maxLen: float,
         forceConstant: float, relative: bool = False,
     ) -> None:
         self._check_atoms(idx1, idx2)
-        self._parent._constraints[self._idx].distance.append(
-            (idx1, idx2, minLen, maxLen, forceConstant, relative)
-        )
+        for k in self._systems():
+            self._parent._constraints[k].distance.append(
+                (idx1, idx2, minLen, maxLen, forceConstant, relative)
+            )
         self._parent._constraints_dirty = True
 
     def add_position_constraint(
         self, idx: int, maxDispl: float, forceConstant: float
     ) -> None:
         self._check_atoms(idx)
-        self._parent._constraints[self._idx].position.append(
-            (idx, maxDispl, forceConstant)
-        )
+        for k in self._systems():
+            self._parent._constraints[k].position.append(
+                (idx, maxDispl, forceConstant)
+            )
         self._parent._constraints_dirty = True
 
     def add_angle_constraint(
@@ -63,9 +76,11 @@ class _SystemConstraintView:
         maxAngleDeg: float, forceConstant: float, relative: bool = False,
     ) -> None:
         self._check_atoms(idx1, idx2, idx3)
-        self._parent._constraints[self._idx].angle.append(
-            (idx1, idx2, idx3, minAngleDeg, maxAngleDeg, forceConstant, relative)
-        )
+        for k in self._systems():
+            self._parent._constraints[k].angle.append(
+                (idx1, idx2, idx3, minAngleDeg, maxAngleDeg, forceConstant,
+                 relative)
+            )
         self._parent._constraints_dirty = True
 
     def add_torsion_constraint(
@@ -73,11 +88,20 @@ class _SystemConstraintView:
         maxDihedralDeg: float, forceConstant: float, relative: bool = False,
     ) -> None:
         self._check_atoms(idx1, idx2, idx3, idx4)
-        self._parent._constraints[self._idx].torsion.append(
-            (idx1, idx2, idx3, idx4, minDihedralDeg, maxDihedralDeg,
-             forceConstant, relative)
-        )
+        for k in self._systems():
+            self._parent._constraints[k].torsion.append(
+                (idx1, idx2, idx3, idx4, minDihedralDeg, maxDihedralDeg,
+                 forceConstant, relative)
+            )
         self._parent._constraints_dirty = True
+
+
+class MMFFBatchElement(_BatchElementBase):
+    """Per-molecule view of one molecule in an MMFF batch (``ff[i]``)."""
+
+
+class UFFBatchElement(_BatchElementBase):
+    """Per-molecule view of one molecule in a UFF batch (``ff[i]``)."""
 
 
 class _BatchedForcefieldBase:
@@ -128,10 +152,12 @@ class _BatchedForcefieldBase:
         raise NotImplementedError
 
     # constraints ----------------------------------------------------------
-    def __getitem__(self, sys_idx: int) -> _SystemConstraintView:
-        if not (0 <= sys_idx < len(self.systems)):
-            raise IndexError(f"system index {sys_idx} out of range")
-        return _SystemConstraintView(self, sys_idx)
+    _element_cls: type = _BatchElementBase
+
+    def __getitem__(self, mol_idx: int) -> _BatchElementBase:
+        if not (0 <= mol_idx < len(self.molecules)):
+            raise IndexError(f"molecule index {mol_idx} out of range")
+        return self._element_cls(self, mol_idx)
 
     def _constraint_energy_fn(self):
         """None when no constraints, else jitted extra-energy closure.
@@ -216,6 +242,8 @@ class _BatchedForcefieldBase:
 class MMFFBatchedForcefield(_BatchedForcefieldBase):
     """Batched MMFF94 force field over molecules with conformers."""
 
+    _element_cls = MMFFBatchElement
+
     def __init__(
         self,
         molecules: list[Mol],
@@ -249,6 +277,8 @@ class MMFFBatchedForcefield(_BatchedForcefieldBase):
 
 class UFFBatchedForcefield(_BatchedForcefieldBase):
     """Batched UFF force field over molecules with conformers."""
+
+    _element_cls = UFFBatchElement
 
     def __init__(
         self,
