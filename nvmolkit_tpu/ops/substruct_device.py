@@ -184,31 +184,32 @@ def _device_gsi_join(labels, adj_code, back_slot, back_mask, nq, P):
 
     TPU-shaped: NO elementwise gathers (dynamic-index gathers lower to
     serialized loops on TPU — measured 17 s/launch in a neighbor-list
-    formulation). Row selection is one-hot einsum on the MXU (exact:
-    bf16 holds ints <= 256), compaction is ``lax.top_k`` on
-    first-true-wins keys. Candidates are dense over the target axis;
-    the tree-parent bond mask restricts them to real neighbors (bond
-    code 0 is never accepted).
+    formulation) and NO sorts: frontier compaction (first P true cells of
+    the [P, T] candidate mask in flat order) is rank arithmetic — per-row
+    counts, exclusive cumsum offsets, and an interval-membership one-hot
+    ``o_p <= k < o_p + c_p`` — followed by one-hot MXU einsums for the
+    row gathers (exact: every value a one-hot ever multiplies is < 256,
+    within bf16's exact-integer range; a ``lax.top_k`` formulation of
+    the same compaction measured ~4x slower). Candidates are dense over
+    the target axis; the tree-parent bond mask restricts them to real
+    neighbors (bond code 0 is never accepted).
     """
     B, Q, T = labels.shape
     E = back_slot.shape[2]
     iota_T = jnp.arange(T)
-    iota_P = jnp.arange(P)
     iota_Q = jnp.arange(Q)
-
-    def topk_compact(flat):
-        """First P true positions per row: (idx [B,P], valid [B,P])."""
-        M = flat.shape[1]
-        keys = flat.astype(jnp.int32) * (M + 1) - jnp.arange(M, dtype=jnp.int32)
-        v, idx = jax.lax.top_k(keys, P)
-        return idx.astype(jnp.int32), v > 0
+    k_iota = jnp.arange(P, dtype=jnp.float32)
 
     cand0 = labels[:, 0, :]
     overflow = jnp.sum(cand0, axis=-1) > P
-    idx0, valid = topk_compact(
-        jnp.pad(cand0, ((0, 0), (0, P - T))) if T < P else cand0
-    )
-    t0 = jnp.minimum(idx0, T - 1)
+    # initial frontier: the k-th set column of cand0 lands in slot k
+    c0 = cand0.astype(jnp.float32)
+    pre0 = jnp.cumsum(c0, axis=1) - c0                    # [B, T] excl. rank
+    sel0 = cand0[:, None, :] & (
+        jnp.abs(pre0[:, None, :] - k_iota[None, :, None]) < 0.5
+    )                                                     # [B, P, T] one-hot
+    valid = jnp.any(sel0, axis=2)
+    t0 = jnp.sum(jnp.where(sel0, iota_T[None, None, :], 0), axis=2)
     frontier = jnp.full((B, P, Q), -1, jnp.int32)
     frontier = frontier.at[:, :, 0].set(jnp.where(valid, t0, -1))
     used = (t0[:, :, None] == iota_T[None, None, :]) & valid[:, :, None]
@@ -252,13 +253,31 @@ def _device_gsi_join(labels, adj_code, back_slot, back_mask, nq, P):
         has = (bs_i >= 0)[:, :, None, None]
         ok &= jnp.all(jnp.where(has, eo, True), axis=1)
 
-        flat = ok.reshape(B, P * T)
-        cnt = jnp.sum(flat, axis=-1)
-        overflow |= stepping & (cnt > P)
-        sidx, sval = topk_compact(flat)
-        p_sel = sidx // T
-        t_sel = sidx % T
-        p_oh = (p_sel[:, :, None] == iota_P[None, None, :]).astype(jnp.bfloat16)
+        # rank-arithmetic compaction: cell (p, t) is kept iff its flat
+        # rank o_p + rank_in_row(t) < P; output slot k maps back to its
+        # source row by interval membership o_p <= k < o_p + c_p
+        okf = ok.astype(jnp.float32)
+        c = jnp.sum(okf, axis=2)                         # [B, P] row counts
+        overflow |= stepping & (jnp.sum(c, axis=1) > P)
+        o = jnp.cumsum(c, axis=1) - c                    # [B, P] excl. offsets
+        p_oh_b = (o[:, None, :] <= k_iota[None, :, None]) & (
+            k_iota[None, :, None] < (o + c)[:, None, :]
+        )                                                # [B, P(out), P(row)]
+        sval = jnp.any(p_oh_b, axis=2)
+        p_oh = p_oh_b.astype(jnp.bfloat16)
+        # rank of output slot k within its source row, then the t whose
+        # in-row exclusive prefix equals that rank
+        r = k_iota[None, :] - jnp.einsum(
+            "bkp,bp->bk", p_oh, o.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+        row = jnp.einsum(
+            "bkp,bpt->bkt", p_oh, okf.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )                                                # [B, P, T] src rows
+        pre = jnp.cumsum(row, axis=2) - row
+        t_oh = (row > 0.5) & (jnp.abs(pre - r[:, :, None]) < 0.5)
+        t_sel = jnp.sum(jnp.where(t_oh, iota_T[None, None, :], 0), axis=2)
         nf = jnp.einsum(
             "bkp,bpq->bkq", p_oh, (frontier + 1).astype(jnp.bfloat16),
             preferred_element_type=jnp.float32,
@@ -333,7 +352,6 @@ def device_substruct_matches(
 
     # group pairs by (T, Q, E) shape bucket
     grouped: dict[tuple[int, int, int], list[tuple[int, int]]] = {}
-    label_cache: dict[tuple[int, int], np.ndarray] = {}
     for ti, qi in pairs:
         cq = compiled[qi]
         tf = tfs[ti]
@@ -351,43 +369,58 @@ def device_substruct_matches(
     # the host assembly of launch N+1 and the result decode of launch N
     # overlap launch N's device compute (XLA async dispatch; the
     # reference pipelines minibatches the same way with CUDA streams,
-    # ``src/substruct/gpu_executor.h:40-105``).
+    # ``src/substruct/gpu_executor.h:40-105``). Launches are per QUERY
+    # within each (T, Q, E) bucket so every per-launch array assembles
+    # with ONE vectorized numpy op — a per-pair python fill measured
+    # ~0.2 s per 2048-pair launch, several times the kernel itself.
     in_flight: list[tuple[list[tuple[int, int]], tuple]] = []
     for (T, Q, E), bucket_pairs in grouped.items():
-        # stacked label painting once per (query, target-bucket)
         by_query: dict[int, list[int]] = {}
         for ti, qi in bucket_pairs:
             by_query.setdefault(qi, []).append(ti)
-        pair_labels: dict[tuple[int, int], np.ndarray] = {}
-        for qi, tids in by_query.items():
-            labs = stacked_labels(
-                qmols[qi], compiled[qi], [tfs[t] for t in tids], T
-            )  # [Bt, nq, T]
-            for b, ti in enumerate(tids):
-                pair_labels[(ti, qi)] = labs[b]
+        # [n_unique_targets, T, T] bond-code stack, built once per bucket
+        # and shared by every query's launches (targets repeat across
+        # queries); row index per target id
+        uniq_tids = sorted({ti for ti, _ in bucket_pairs})
+        adj_stack = np.stack(
+            [target_device_arrays(tfs[t], T) for t in uniq_tids]
+        ) if uniq_tids else np.zeros((0, T, T), np.uint8)
+        adj_row = {t: r for r, t in enumerate(uniq_tids)}
 
-        for start in range(0, len(bucket_pairs), launch_pairs):
-            chunk = bucket_pairs[start : start + launch_pairs]
-            B = 1 << max(3, int(np.ceil(np.log2(len(chunk)))))
-            B = min(B, launch_pairs)
-            labels = np.zeros((B, Q, T), bool)
-            adj_code = np.zeros((B, T, T), np.uint8)
-            back_slot = np.full((B, Q, E), -1, np.int32)
-            back_mask = np.zeros((B, Q, E), np.uint16)
-            nq_arr = np.zeros(B, np.int32)
-            for b, (ti, qi) in enumerate(chunk):
-                cq = compiled[qi]
-                labels[b, : cq.nq] = pair_labels[(ti, qi)]
-                adj_code[b] = target_device_arrays(tfs[ti], T)
-                back_slot[b, : cq.nq] = cq.back_slot
-                back_mask[b, : cq.nq] = cq.back_mask
-                nq_arr[b] = cq.nq
-            out = _device_gsi_join(
-                jnp.asarray(labels), jnp.asarray(adj_code),
-                jnp.asarray(back_slot), jnp.asarray(back_mask),
-                jnp.asarray(nq_arr), frontier_cap,
-            )
-            in_flight.append((chunk, out))
+        for qi, tids in by_query.items():
+            cq = compiled[qi]
+            labs = stacked_labels(
+                qmols[qi], cq, [tfs[t] for t in tids], T
+            )  # [n_tids, nq, T]
+            rows = np.asarray([adj_row[t] for t in tids])
+            for start in range(0, len(tids), launch_pairs):
+                sl = slice(start, min(start + launch_pairs, len(tids)))
+                n = sl.stop - sl.start
+                B = min(1 << max(3, int(np.ceil(np.log2(n)))), launch_pairs)
+                labels = np.zeros((B, Q, T), bool)
+                labels[:n, : cq.nq] = labs[sl]
+                adj_code = np.zeros((B, T, T), np.uint8)
+                adj_code[:n] = adj_stack[rows[sl]]
+                back_slot = np.full((B, Q, E), -1, np.int32)
+                back_slot[:, : cq.nq] = cq.back_slot
+                back_mask = np.zeros((B, Q, E), np.uint16)
+                back_mask[:, : cq.nq] = cq.back_mask
+                nq_arr = np.full(B, cq.nq, np.int32)
+                frontier, valid_rows, over = _device_gsi_join(
+                    jnp.asarray(labels), jnp.asarray(adj_code),
+                    jnp.asarray(back_slot), jnp.asarray(back_mask),
+                    jnp.asarray(nq_arr), frontier_cap,
+                )
+                # shrink the device->host transfer ~10x before fetching:
+                # drop pad pairs and pad slots, downcast atom ids to int16
+                # (T <= 256) — the fetch, not the join kernel, dominates
+                # wall time over a tunneled interconnect
+                out = (
+                    frontier[:n, :, : cq.nq].astype(jnp.int16),
+                    valid_rows[:n],
+                    over[:n],
+                )
+                in_flight.append(([(t, qi) for t in tids[sl]], out))
 
     for chunk, out in in_flight:
         frontier, valid, overflow = jax.device_get(out)

@@ -43,8 +43,10 @@ class SubstructSearchConfig:
     preprocessingThreads: int = -1
     executorsPerRunner: int = 2
     deviceIds: list[int] = dataclasses.field(default_factory=list)
-    maxMatches: int = 10000
-    uniquify: bool = True
+    # reference defaults (``nvmolkit/substructure.py:59-71``):
+    # maxMatches 0 = unlimited, uniquify off
+    maxMatches: int = 0
+    uniquify: bool = False
     algorithm: SubstructAlgorithm = SubstructAlgorithm.GSI
     useNativeEngine: bool = True
     # run the BFS join on the accelerator (ops/substruct_device.py —
@@ -100,6 +102,8 @@ def getSubstructMatches(
     config: SubstructSearchConfig | None = None,
 ) -> SubstructMatchResults:
     cfg = config or SubstructSearchConfig()
+    # reference semantics: maxMatches == 0 means unlimited
+    mm = cfg.maxMatches if cfg.maxMatches > 0 else (2**31 - 1)
     qmols = [_as_query(q) for q in queries]
     # SSSR ring-membership counts are the most expensive target feature;
     # only R<n> primitives read them, so skip the perception entirely
@@ -135,20 +139,44 @@ def getSubstructMatches(
         ]
         device_matches, _unresolved, device_capped = device_substruct_matches(
             all_pairs, tfs, qmols, compiled,
-            max_matches=cfg.maxMatches, uniquify=cfg.uniquify,
+            max_matches=mm, uniquify=cfg.uniquify,
             frontier_cap=cfg.deviceFrontierCap,
         )
 
     native_matches = None
     native_overflowed: set[tuple[int, int]] = set()
-    if use_native and not cfg.useDeviceEngine:
+    if use_native and cfg.useDeviceEngine:
+        # drain whole query columns the device engine cannot run
+        # (recursive SMARTS, oversized queries) to the native C++ engine
+        # rather than the Python matcher
+        device_qis = {qi for (_ti, qi) in device_matches}
+        connected_ids = [
+            qi for qi, q in enumerate(qmols)
+            if qi not in device_qis and _is_connected(q)
+        ]
+        if connected_ids:
+            nm, nover = native_substruct_search(
+                tfs,
+                [qmols[qi] for qi in connected_ids],
+                max_matches=mm,
+                uniquify=cfg.uniquify,
+                n_threads=max(0, cfg.workerThreads),
+            )
+            native_matches = {}
+            for ti in range(len(tfs)):
+                for k, qi in enumerate(connected_ids):
+                    native_matches[(ti, qi)] = nm[ti][k]
+            native_overflowed = {
+                (ti, connected_ids[k]) for (ti, k) in nover
+            }
+    elif use_native and not cfg.useDeviceEngine:
         # disconnected queries go through the Python component combiner
         connected_ids = [qi for qi, q in enumerate(qmols) if _is_connected(q)]
         if connected_ids:
             nm, nover = native_substruct_search(
                 tfs,
                 [qmols[qi] for qi in connected_ids],
-                max_matches=cfg.maxMatches,
+                max_matches=mm,
                 uniquify=cfg.uniquify,
                 n_threads=max(0, cfg.workerThreads),
             )
@@ -180,7 +208,7 @@ def getSubstructMatches(
                 over = (ti, qi) in native_overflowed
             else:
                 m, over = matcher(
-                    q, tf, max_matches=cfg.maxMatches, uniquify=cfg.uniquify
+                    q, tf, max_matches=mm, uniquify=cfg.uniquify
                 )
             if over:
                 overflowed.append((ti, qi))

@@ -110,9 +110,16 @@ def test_regression_morgan_bits():
 
 def test_regression_substruct_counts():
     data = _load("regression_substruct.json")
-    from nvmolkit_tpu.substructure import getSubstructMatches
+    from nvmolkit_tpu.substructure import (
+        SubstructSearchConfig,
+        getSubstructMatches,
+    )
 
     mols = [mol_from_smiles(s) for s in data["smiles"]]
-    res = getSubstructMatches(mols, data["smarts"])
+    # goldens were generated under uniquify=True (pinned: the config
+    # DEFAULT mirrors the reference's uniquify=False)
+    res = getSubstructMatches(
+        mols, data["smarts"], SubstructSearchConfig(uniquify=True)
+    )
     got = res.counts().tolist()
     assert got == data["counts"]

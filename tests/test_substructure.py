@@ -26,14 +26,17 @@ def test_simple_chain():
 
 
 def test_uniquify_symmetric():
-    # ethane C-C: two directed mappings, one unique atom set
-    assert len(_matches("CC", "CC")) == 1
+    # ethane C-C: two directed mappings, one unique atom set.
+    # default is uniquify=False (reference default,
+    # ``nvmolkit/substructure.py:71``)
+    assert len(_matches("CC", "CC")) == 2
+    assert len(_matches("CC", "CC", uniquify=True)) == 1
     assert len(_matches("CC", "CC", uniquify=False)) == 2
 
 
 def test_benzene_aromatic():
     assert len(_matches("c1ccccc1", "c1ccccc1", uniquify=False)) == 12
-    assert len(_matches("c1ccccc1", "c1ccccc1")) == 1
+    assert len(_matches("c1ccccc1", "c1ccccc1", uniquify=True)) == 1
     assert _matches("C1CCCCC1", "c1ccccc1") == []  # aliphatic ring no match
 
 
@@ -65,10 +68,10 @@ def test_ring_primitives():
 
 
 def test_bond_kinds():
-    assert len(_matches("C=CC", "C=C")) == 1
+    assert len(_matches("C=CC", "C=C", uniquify=True)) == 1
     assert _matches("CCC", "C=C") == []
     assert len(_matches("C=CC", "C~C", uniquify=False)) == 4
-    assert len(_matches("C#N", "C#N")) == 1
+    assert len(_matches("C#N", "C#N", uniquify=True)) == 1
     # ring-bond query
     assert len(_matches("C1CCCCC1C", "C@C", uniquify=False)) == 12
     assert len(_matches("C1CCCCC1C", "C!@C", uniquify=False)) == 2

@@ -28,11 +28,11 @@ for smi in SMILES_100:
     json.dumps({"smiles": SMILES_100, "bits": bits})
 )
 
-from nvmolkit_tpu.substructure import getSubstructMatches  # noqa: E402
+from nvmolkit_tpu.substructure import SubstructSearchConfig, getSubstructMatches  # noqa: E402
 
 SMARTS = ["c1ccccc1", "[OX2H1]", "O=C", "[R2]", "[NX3;!$(NC=O)]", "[r5]"]
 mols = [mol_from_smiles(s) for s in SMILES_100]
-res = getSubstructMatches(mols, SMARTS)
+res = getSubstructMatches(mols, SMARTS, SubstructSearchConfig(uniquify=True))
 (out / "regression_substruct.json").write_text(
     json.dumps(
         {"smiles": SMILES_100, "smarts": SMARTS, "counts": res.counts().tolist()}
