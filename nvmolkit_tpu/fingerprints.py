@@ -116,7 +116,13 @@ class MorganFingerprintGenerator:
                     order.setdefault(b, []).append(idx)
                     break
 
-        out = jnp.zeros((len(mols), self.fpSize // 32), dtype=jnp.uint32)
+        # independent chunk kernels + one concat/gather (see
+        # GetFingerprintsFromSmiles: a shared scatter-assembled output
+        # buffer serializes the chunks by data dependency)
+        chunk_idx: list[np.ndarray] = [np.zeros(0, np.int64)]
+        chunk_fps: list[jnp.ndarray] = [
+            jnp.zeros((0, self.fpSize // 32), dtype=jnp.uint32)
+        ]
         for bucket, indices in sorted(order.items()):
             for start in range(0, len(indices), _MORGAN_CHUNK):
                 chunk = indices[start : start + _MORGAN_CHUNK]
@@ -124,7 +130,11 @@ class MorganFingerprintGenerator:
                     [mols[i] for i in chunk], self.radius, self.fpSize, bucket,
                     use_chirality=self.useChirality,
                 )
-                out = out.at[np.asarray(chunk, dtype=np.int32)].set(fps)
+                chunk_idx.append(np.asarray(chunk, np.int64))
+                chunk_fps.append(fps)
+        all_idx = np.concatenate(chunk_idx + [np.asarray(fallback, np.int64)])
+        inv = np.empty(len(mols), np.int64)
+        inv[all_idx.astype(np.int64)] = np.arange(len(all_idx))
         if fallback:
             from nvmolkit_tpu.ops.morgan_cpu import morgan_fingerprint_cpu_unbounded
 
@@ -136,7 +146,8 @@ class MorganFingerprintGenerator:
                     for i in fallback
                 ]
             )
-            out = out.at[np.asarray(fallback, np.int32)].set(jnp.asarray(rows))
+            chunk_fps.append(jnp.asarray(rows))
+        out = jnp.concatenate(chunk_fps, axis=0)[jnp.asarray(inv)]
         return AsyncResult(out)
 
     def GetFingerprintsFromSmiles(
@@ -164,10 +175,15 @@ class MorganFingerprintGenerator:
             smiles, opts.atomBuckets, n_threads=num_threads,
             use_chirality=self.useChirality,
         )
-        out = jnp.zeros((len(smiles), self.fpSize // 32), dtype=jnp.uint32)
         from nvmolkit_tpu.parallel.distributed import resolve_devices
 
         devices = resolve_devices(opts.deviceIds) if opts.deviceIds else None
+        # every chunk kernel is dispatched independently (no shared
+        # output buffer: scatter-assembling chunks into one array chains
+        # them by data dependency — measured 3x the kernel time); one
+        # concatenate + row gather reorders at the end
+        chunk_idx: list[np.ndarray] = []
+        chunk_fps: list[jnp.ndarray] = []
         for bucket, (indices, b) in sorted(batches.items()):
             for start in range(0, len(indices), _MORGAN_CHUNK):
                 sl = slice(start, start + _MORGAN_CHUNK)
@@ -184,5 +200,10 @@ class MorganFingerprintGenerator:
                     radius=self.radius,
                     fp_size=self.fpSize,
                 )
-                out = out.at[indices[sl]].set(fps[:n])
+                chunk_idx.append(indices[sl])
+                chunk_fps.append(fps[:n])
+        all_idx = np.concatenate(chunk_idx)
+        inv = np.empty(len(smiles), np.int64)
+        inv[all_idx] = np.arange(len(all_idx))
+        out = jnp.concatenate(chunk_fps, axis=0)[jnp.asarray(inv)]
         return AsyncResult(out)
