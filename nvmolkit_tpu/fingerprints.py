@@ -97,8 +97,13 @@ class MorganFingerprintGenerator:
         num_threads: int = 0,
         hardwareOptions: HardwareOptions | None = None,
     ) -> AsyncResult:
-        """Batched accelerator fingerprints, rows in input order."""
-        del num_threads  # host featurization threading: future work
+        """Batched accelerator fingerprints, rows in input order.
+
+        ``num_threads`` only affects host featurization, which on this
+        path runs on Python ``Mol`` objects (GIL-bound — threading would
+        not speed it up); ``GetFingerprintsFromSmiles`` honors it for
+        real in the native C++ featurizer."""
+        del num_threads
         opts = hardwareOptions or HardwareOptions()
         buckets = opts.atomBuckets
         order: dict[int, list[int]] = {}

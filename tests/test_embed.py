@@ -308,3 +308,22 @@ def test_embed_preserves_named_stereocenter():
             a, b, c, d = idx[0]
             v = np.dot(p[a] - p[d], np.cross(p[b] - p[d], p[c] - p[d]))
             assert lb[0] <= v <= ub[0], (smi, v, lb[0], ub[0])
+
+
+def test_embed_lbfgs_backend():
+    from nvmolkit_tpu.chem import mol_from_smiles
+    from nvmolkit_tpu.embedMolecules import EmbedMolecules, EmbedParameters
+    import numpy as np
+    import pytest
+
+    mols = [mol_from_smiles(s) for s in ("CCCCO", "CC(C)CC(=O)O")]
+    res = EmbedMolecules(
+        mols, EmbedParameters(minimizerBackend="lbfgs"),
+        confsPerMolecule=2, maxIterations=10,
+    )
+    assert int(np.asarray(res.conf_mask).sum()) >= 3
+    with pytest.raises(ValueError, match="minimizerBackend"):
+        EmbedMolecules(
+            [mol_from_smiles("CCO")],
+            EmbedParameters(minimizerBackend="nope"),
+        )
