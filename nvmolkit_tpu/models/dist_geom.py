@@ -55,12 +55,14 @@ def dg_energy(
     v = upper_viol + lower_viol
     e_dist = jnp.sum(jnp.where(pair_mask, v * v, 0.0), axis=(1, 2))
 
-    # chiral volume terms (use only the first 3 spatial dims)
+    # chiral volume terms (use only the first 3 spatial dims). One-hot
+    # einsum, not an elementwise gather: dynamic-index gathers serialize
+    # on TPU and their VJP is a scatter-add (models/terms.select_slots).
     p = positions[..., :3]
-    flatp = p.reshape(S * A, 3)
-    C = chiral_idx.shape[1]
-    base = (jnp.arange(S)[:, None, None] * A + chiral_idx).reshape(S * C * 4)
-    pts = flatp[base].reshape(S, C, 4, 3)
+    oh = jax.nn.one_hot(chiral_idx, A, dtype=jnp.bfloat16)  # [S, C, 4, A]
+    pts = jnp.einsum(
+        "scqa,sad->scqd", oh, p, preferred_element_type=jnp.float32
+    )
     v1 = pts[:, :, 0] - pts[:, :, 3]
     v2 = pts[:, :, 1] - pts[:, :, 3]
     v3 = pts[:, :, 2] - pts[:, :, 3]

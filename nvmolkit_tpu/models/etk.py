@@ -141,12 +141,19 @@ def pad_etk_batch(terms: list[ETKTermsHost]) -> dict[str, np.ndarray]:
 
 
 def _gather_quads(pos3, idx):
-    """pos3 [S, A, 3], idx [S, K, 4] -> [S, K, 4, 3]"""
-    S, A, _ = pos3.shape
-    K = idx.shape[1]
-    flat = pos3.reshape(S * A, 3)
-    base = (jnp.arange(S)[:, None, None] * A + idx).reshape(S * K * 4)
-    return flat[base].reshape(S, K, 4, 3)
+    """pos3 [S, A, 3], idx [S, K, 4] -> [S, K, 4, 3].
+
+    One-hot einsum, NOT an elementwise gather: dynamic-index gathers
+    lower to serialized loops on TPU and their autodiff transpose is a
+    scatter-add (see models/terms.select_slots — the flat-gather form of
+    this function cost ~2/3 of embed's end-to-end wall time). The bf16
+    one-hot is exact (entries 0/1) and the contraction accumulates f32.
+    """
+    A = pos3.shape[1]
+    oh = jax.nn.one_hot(idx, A, dtype=jnp.bfloat16)      # [S, K, 4, A]
+    return jnp.einsum(
+        "skqa,sad->skqd", oh, pos3, preferred_element_type=jnp.float32
+    )
 
 
 def etk_energy(
