@@ -113,3 +113,24 @@ def test_morgan_chunked_dispatch(monkeypatch, mols100, smiles100):
     np.testing.assert_array_equal(got, want)
     got_fast = gen.GetFingerprintsFromSmiles(smiles100).numpy()
     np.testing.assert_array_equal(got_fast, want)
+
+
+def test_fallback_rows_keep_input_order():
+    """Oversized molecules drain to the CPU fallback; rows must still
+    come back in input order (the chunk-concat + gather reassembly)."""
+    from nvmolkit_tpu.chem import mol_from_smiles
+    from nvmolkit_tpu.fingerprints import MorganFingerprintGenerator
+    import numpy as np
+
+    big = mol_from_smiles("C" * 300)         # beyond the largest bucket
+    small = [mol_from_smiles(s) for s in ("CCO", "c1ccccc1", "CC(=O)O")]
+    mols = [small[0], big, small[1], small[2]]
+    gen = MorganFingerprintGenerator(radius=2, fpSize=1024)
+    got = gen.GetFingerprints(mols).numpy()
+    assert got.shape[0] == 4
+    for i, m in enumerate(mols):
+        if m.num_atoms <= 256:
+            np.testing.assert_array_equal(got[i], gen.GetFingerprint(m), str(i))
+    # the oversized row is nonzero and distinct from the small rows
+    assert got[1].any()
+    assert not np.array_equal(got[1], got[0])
