@@ -48,6 +48,23 @@ class AsyncResult:
         return self
 
     @property
+    def device(self):
+        """Device holding the array (None once materialized to host) —
+        the reference's ``AsyncGpuResult.device`` (``types.py:150-153``)."""
+        if isinstance(self._array, np.ndarray):
+            return None
+        return next(iter(self._array.devices()))
+
+    def torch(self):
+        """Copy to a host ``torch.Tensor`` (the reference returns a GPU
+        tensor via ``__cuda_array_interface__``; on TPU the exchange
+        format is a host buffer — ``types.py:155-157``)."""
+        import torch
+
+        # copy: jax host buffers are read-only; torch wants writable
+        return torch.from_numpy(np.array(self.numpy(), copy=True))
+
+    @property
     def shape(self):
         return self._array.shape
 

@@ -50,3 +50,19 @@ def test_csr_roundtrip():
     np.testing.assert_array_equal(
         csr["positions"][:3], np.asarray(r.positions)[0, 0, :3]
     )
+
+
+def test_async_result_torch_and_device():
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nvmolkit_tpu.types import AsyncResult
+
+    r = AsyncResult(jnp.arange(6, dtype=jnp.float32).reshape(2, 3))
+    assert r.device is not None
+    t = r.torch()
+    assert t.shape == (2, 3)
+    np.testing.assert_array_equal(t.numpy(), r.numpy())
+    host = AsyncResult(np.ones((2, 2), np.float32))
+    assert host.device is None
+    assert host.torch().shape == (2, 2)
