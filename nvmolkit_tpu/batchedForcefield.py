@@ -214,17 +214,46 @@ class _BatchedForcefieldBase:
         _, g = self._full_energy_and_grad()(self._positions)
         return AsyncResult(g)
 
-    def minimize(self, maxIters: int = 200, forceTol: float = 1e-4):
-        """Minimize all systems in place; returns (energies, converged)."""
+    def _broadcast_per_molecule(self, value, name, dtype):
+        """Scalar-or-per-molecule-list -> per-SYSTEM array or None.
+
+        The reference's option broadcasting
+        (``batchedForcefield.py:325-330``): a sequence must have one
+        entry per molecule; every conformer of a molecule shares it.
+        """
+        import collections.abc
+
+        if isinstance(value, collections.abc.Sequence):
+            if len(value) != len(self.molecules):
+                raise ValueError(
+                    f"expected {len(self.molecules)} values for {name}, "
+                    f"got {len(value)}"
+                )
+            return jnp.asarray(
+                np.asarray([value[mi] for mi, _ci in self.systems], dtype)
+            )
+        return None
+
+    def minimize(self, maxIters=200, forceTol=1e-4):
+        """Minimize all systems in place; returns (energies, converged).
+
+        ``maxIters`` and ``forceTol`` accept a scalar or a per-molecule
+        sequence (reference broadcasting semantics)."""
+        iter_caps = self._broadcast_per_molecule(maxIters, "maxIters", np.int32)
+        grad_tols = self._broadcast_per_molecule(forceTol, "forceTol", np.float32)
+        max_iters = int(np.max(maxIters)) if iter_caps is not None else maxIters
+        grad_tol = float(np.min(forceTol)) if grad_tols is not None else forceTol
         if all(c.empty() for c in self._constraints):
             # jit-cached fast path: module-level energy fn + batch as args
             res = batched_bfgs_minimize(
                 self._module_energy_fn(),
                 self._positions,
                 self._batch.atom_mask,
-                max_iters=maxIters,
-                grad_tol=forceTol,
+                max_iters=max_iters,
+                grad_tol=grad_tol,
                 energy_args=self._batch,
+                iter_caps=iter_caps,
+                grad_tols=grad_tols,
             )
         else:
             eg = self._full_energy_and_grad()
@@ -232,8 +261,10 @@ class _BatchedForcefieldBase:
                 eg,
                 self._positions,
                 self._batch.atom_mask,
-                max_iters=maxIters,
-                grad_tol=forceTol,
+                max_iters=max_iters,
+                grad_tol=grad_tol,
+                iter_caps=iter_caps,
+                grad_tols=grad_tols,
             )
         self._positions = res.positions
         return AsyncResult(res.energies), AsyncResult(res.converged)

@@ -278,3 +278,29 @@ def mols_from_smiles(smiles: Iterable[str]) -> list[Mol]:
     from nvmolkit_tpu.chem.smiles import mol_from_smiles
 
     return [mol_from_smiles(s) for s in smiles]
+
+
+def fragment_ids(mol: "Mol") -> "np.ndarray":
+    """Connected-component id per atom (0-based, discovery order).
+
+    Multi-fragment molecules (disconnected SMILES components) use this
+    to drop cross-fragment nonbonded interactions when
+    ``ignoreInterfragInteractions`` is set (the reference forwards the
+    same flag to its force-field setup, ``nvmolkit/mmffOptimization.py``).
+    """
+    n = mol.num_atoms
+    ids = np.full(n, -1, np.int32)
+    cur = 0
+    for start in range(n):
+        if ids[start] >= 0:
+            continue
+        stack = [start]
+        ids[start] = cur
+        while stack:
+            a = stack.pop()
+            for b in mol.neighbors(a):
+                if ids[b] < 0:
+                    ids[b] = cur
+                    stack.append(b)
+        cur += 1
+    return ids

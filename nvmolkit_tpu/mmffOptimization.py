@@ -21,28 +21,42 @@ def MMFFOptimizeMoleculesConfs(
     hardwareOptions: HardwareOptions | None = None,
     provider=None,
     backend: str = "flat",
+    output=None,
 ):
     """Minimize all conformers of all molecules under MMFF94.
 
-    Returns ``(results, dense)`` with ``results[mol][conf] =
-    (not_converged, energy)`` (0 = converged). Parametrization comes
+    ``output`` follows the reference's ``CoordinateOutput``
+    (``nvmolkit/mmffOptimization.py:45-67``): the default CONFORMERS
+    writes minimized coordinates back into each molecule's conformer
+    list and returns ``(results, dense)``; DEVICE skips the writeback
+    and returns only the device-resident :class:`Dense3DResult`.
+
+    ``results[mol][conf] = (not_converged, energy)`` (0 = converged). Parametrization comes
     from ``provider`` (default: RDKit when importable, else the
     documented approximate provider — see models/mmff/providers.py).
     ``properties`` may be one MMFFProperties or a per-molecule list
     (reference behavior, ``nvmolkit/mmffOptimization.py:145-196``);
     molecules sharing a properties signature run in one batch.
     """
-    del ignoreInterfragInteractions
     if isinstance(properties, list):
         if len(properties) != len(molecules):
             raise ValueError(
                 f"properties list length {len(properties)} != "
                 f"molecule count {len(molecules)}"
             )
-        per_mol = [p or MMFFProperties(nonBondedThreshold=nonBondedThreshold)
-                   for p in properties]
+        per_mol = [
+            p
+            or MMFFProperties(
+                nonBondedThreshold=nonBondedThreshold,
+                ignoreInterfragInteractions=ignoreInterfragInteractions,
+            )
+            for p in properties
+        ]
     else:
-        props = properties or MMFFProperties(nonBondedThreshold=nonBondedThreshold)
+        props = properties or MMFFProperties(
+            nonBondedThreshold=nonBondedThreshold,
+            ignoreInterfragInteractions=ignoreInterfragInteractions,
+        )
         per_mol = [props] * len(molecules)
 
     # group molecules by properties signature; one optimize pass each
@@ -80,7 +94,9 @@ def MMFFOptimizeMoleculesConfs(
         dense_parts.append((mol_ids, dense))
 
     if len(dense_parts) == 1:
-        return results, dense_parts[0][1]
+        from nvmolkit_tpu.models.optimize import finalize_output
+
+        return finalize_output(molecules, results, dense_parts[0][1], output)
 
     # merge group Dense3DResults back into input order
     max_confs = max(len(m.conformers) for m in molecules)
@@ -110,4 +126,6 @@ def MMFFOptimizeMoleculesConfs(
         energies=jnp.asarray(e_out),
         converged=jnp.asarray(conv),
     )
-    return results, dense
+    from nvmolkit_tpu.models.optimize import finalize_output
+
+    return finalize_output(molecules, results, dense, output)

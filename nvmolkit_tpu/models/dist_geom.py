@@ -59,9 +59,10 @@ def dg_energy(
     # einsum, not an elementwise gather: dynamic-index gathers serialize
     # on TPU and their VJP is a scatter-add (models/terms.select_slots).
     p = positions[..., :3]
-    oh = jax.nn.one_hot(chiral_idx, A, dtype=jnp.bfloat16)  # [S, C, 4, A]
+    oh_dt = jnp.bfloat16 if p.dtype == jnp.float32 else p.dtype
+    oh = jax.nn.one_hot(chiral_idx, A, dtype=oh_dt)      # [S, C, 4, A]
     pts = jnp.einsum(
-        "scqa,sad->scqd", oh, p, preferred_element_type=jnp.float32
+        "scqa,sad->scqd", oh, p, preferred_element_type=p.dtype
     )
     v1 = pts[:, :, 0] - pts[:, :, 3]
     v2 = pts[:, :, 1] - pts[:, :, 3]

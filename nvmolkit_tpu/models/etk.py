@@ -150,9 +150,11 @@ def _gather_quads(pos3, idx):
     one-hot is exact (entries 0/1) and the contraction accumulates f32.
     """
     A = pos3.shape[1]
-    oh = jax.nn.one_hot(idx, A, dtype=jnp.bfloat16)      # [S, K, 4, A]
+    # accumulate in the position dtype (f64 validation mode stays f64)
+    oh_dt = jnp.bfloat16 if pos3.dtype == jnp.float32 else pos3.dtype
+    oh = jax.nn.one_hot(idx, A, dtype=oh_dt)             # [S, K, 4, A]
     return jnp.einsum(
-        "skqa,sad->skqd", oh, pos3, preferred_element_type=jnp.float32
+        "skqa,sad->skqd", oh, pos3, preferred_element_type=pos3.dtype
     )
 
 

@@ -64,7 +64,10 @@ class ApproximateMMFFProvider:
     """UFF-derived parameters in MMFF functional forms (see module doc)."""
 
     def build_terms(self, mol: Mol, props: MMFFProperties) -> MMFFTerms:
-        uff = build_uff_terms(mol, vdw_threshold=props.nonBondedThreshold)
+        uff = build_uff_terms(
+            mol, vdw_threshold=props.nonBondedThreshold,
+            ignore_interfrag=props.ignoreInterfragInteractions,
+        )
         ap = [uff_atom_type(mol, i) for i in range(mol.num_atoms)]
         hyb = [_hybridization(mol, i) for i in range(mol.num_atoms)]
 
@@ -280,12 +283,17 @@ class RDKitMMFFProvider:
 
         # nonbonded pairs (not 1-2/1-3; 1-4 flagged)
         dmat = Chem.GetDistanceMatrix(rmol)
+        from nvmolkit_tpu.chem.mol import fragment_ids
+
+        frag = fragment_ids(mol) if props.ignoreInterfragInteractions else None
         vdw_a, vdw_p = [], {"rstar": [], "eps": []}
         ele_a, ele_p = [], {"qq": [], "is_1_4": []}
         for i in range(n):
             for j in range(i + 1, n):
                 top = dmat[i, j]
                 if top < 3:
+                    continue
+                if frag is not None and frag[i] != frag[j]:
                     continue
                 vp = H.GetMMFFVdWParams(rmol, i, j)
                 if vp:

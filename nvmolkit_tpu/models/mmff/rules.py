@@ -359,10 +359,15 @@ class EmpiricalMMFFProvider:
                     a_, c_ = nbrs[x], nbrs[y]
                     excl.add((min(a_, c_), max(a_, c_)))
 
+        from nvmolkit_tpu.chem.mol import fragment_ids
+
+        frag = fragment_ids(mol) if props.ignoreInterfragInteractions else None
         vdw_rows, rstars, epss = [], [], []
         for i in range(n):
             for j in range(i + 1, n):
                 if (i, j) in excl:
+                    continue
+                if frag is not None and frag[i] != frag[j]:
                     continue
                 ri, rj = rstar_ii[i], rstar_ii[j]
                 gamma = (ri - rj) / (ri + rj)

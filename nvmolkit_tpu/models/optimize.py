@@ -197,3 +197,26 @@ def optimize_molecules_confs(
         converged=jnp.asarray(converged_out),
     )
     return energies, statuses, dense
+
+
+def finalize_output(molecules, results, dense, output):
+    """Apply the CoordinateOutput contract to an optimize result.
+
+    CONFORMERS (default): write minimized coordinates back into each
+    molecule's conformer list (reference behavior — coordinates update
+    regardless of convergence, ``nvmolkit/types.py:168-170``) and return
+    ``(results, dense)``. DEVICE: no writeback; return ``dense`` only.
+    """
+    from nvmolkit_tpu.types import CoordinateOutput
+
+    output = output or CoordinateOutput.CONFORMERS
+    if output == CoordinateOutput.DEVICE:
+        return dense
+    pos = np.asarray(dense.positions)
+    cmask = np.asarray(dense.conf_mask)
+    for mi, m in enumerate(molecules):
+        na = m.num_atoms
+        for ci in range(len(m.conformers)):
+            if cmask[mi, ci]:
+                m.conformers[ci] = pos[mi, ci, :na].copy()
+    return results, dense

@@ -111,7 +111,9 @@ def _hybridization(mol: Mol, idx: int) -> int:
     return 3
 
 
-def build_uff_terms(mol: Mol, vdw_threshold: float = 100.0) -> UFFTerms:
+def build_uff_terms(
+    mol: Mol, vdw_threshold: float = 100.0, ignore_interfrag: bool = True
+) -> UFFTerms:
     """Parametrize one molecule. Raises UFFBuildError for unsupported atoms."""
     n = mol.num_atoms
     try:
@@ -286,10 +288,15 @@ def build_uff_terms(mol: Mol, vdw_threshold: float = 100.0) -> UFFTerms:
             for y in range(x + 1, len(nbrs)):
                 a, c = nbrs[x], nbrs[y]
                 excluded.add((min(a, c), max(a, c)))
+    from nvmolkit_tpu.chem.mol import fragment_ids
+
+    frag = fragment_ids(mol) if ignore_interfrag else None
     vdw_atoms, vdw_x, vdw_d = [], [], []
     for i in range(n):
         for j in range(i + 1, n):
             if (i, j) in excluded:
+                continue
+            if frag is not None and frag[i] != frag[j]:
                 continue
             x = math.sqrt(ap[i].x1 * ap[j].x1)
             if x > vdw_threshold:

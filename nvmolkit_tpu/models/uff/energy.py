@@ -170,7 +170,8 @@ def batch_uff_terms(
 
 
 def make_batched_uff(
-    mols: list[Mol], max_atoms: int, vdw_threshold: float = 100.0
+    mols: list[Mol], max_atoms: int, vdw_threshold: float = 100.0,
+    ignore_interfrag: bool = True,
 ) -> UFFBatch:
     """Build and batch UFF terms for a bucket of molecules.
 
@@ -184,10 +185,13 @@ def make_batched_uff(
     terms = []
     for m in mols:
         cached = getattr(m, "_uff_terms_cache", None)
-        if cached is None:
-            cached = build_uff_terms(m)
+        if cached is None or cached[0] != ignore_interfrag:
+            cached = (
+                ignore_interfrag,
+                build_uff_terms(m, ignore_interfrag=ignore_interfrag),
+            )
             m._uff_terms_cache = cached
-        terms.append(cached)
+        terms.append(cached[1])
     return batch_uff_terms(terms, mols, max_atoms)
 
 

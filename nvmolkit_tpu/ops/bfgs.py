@@ -32,6 +32,11 @@ import jax.numpy as jnp
 FUNCTOL = 1e-4
 MOVETOL = 1e-7
 TOLX = 4e-8
+# functional-decrease convergence threshold. RDKit's BFGS stops at
+# relative decreases under FUNCTOL (1e-4); we use a tighter 1e-6 so
+# normal trajectories are unaffected and only noise-floor cycling
+# (re-minimizing an already-minimized system in f32) terminates.
+TOLF = 1e-6
 MAXSTEP_FACTOR = 100.0
 EPS = 3e-8
 # Hard cap on line-search backtracks: lambda shrinks by at least 2x per
@@ -143,8 +148,15 @@ def batched_bfgs_minimize(
     max_iters: int = 200,
     grad_tol: float = 1e-4,
     energy_args=None,
+    iter_caps=None,     # optional [S] int32 per-system iteration caps
+    grad_tols=None,     # optional [S] f32 per-system gradient tolerances
 ) -> BfgsResult:
     """Minimize each system's energy with batched BFGS.
+
+    ``iter_caps`` / ``grad_tols`` broadcast the reference's per-molecule
+    ``maxIters`` / ``forceTol`` lists (``batchedForcefield.py:325-330``)
+    to systems; a system that hits its cap unconverged reports
+    ``converged=False``.
 
     Two calling conventions:
 
@@ -158,18 +170,27 @@ def batched_bfgs_minimize(
     """
     if energy_args is not None:
         return _minimize_jit(
-            energy_and_grad_fn, positions, atom_mask, max_iters, grad_tol, energy_args
+            energy_and_grad_fn, positions, atom_mask, max_iters, grad_tol,
+            energy_args, iter_caps, grad_tols,
         )
 
     def fn(p, _):
         return energy_and_grad_fn(p)
 
-    return _minimize_impl(fn, positions, atom_mask, max_iters, grad_tol, None)
+    return _minimize_impl(
+        fn, positions, atom_mask, max_iters, grad_tol, None, iter_caps, grad_tols
+    )
 
 
 @partial(jax.jit, static_argnames=("fn", "max_iters", "grad_tol"))
-def _minimize_jit(fn, positions, atom_mask, max_iters, grad_tol, energy_args):
-    return _minimize_impl(fn, positions, atom_mask, max_iters, grad_tol, energy_args)
+def _minimize_jit(
+    fn, positions, atom_mask, max_iters, grad_tol, energy_args,
+    iter_caps=None, grad_tols=None,
+):
+    return _minimize_impl(
+        fn, positions, atom_mask, max_iters, grad_tol, energy_args,
+        iter_caps, grad_tols,
+    )
 
 
 def _minimize_impl(
@@ -179,6 +200,8 @@ def _minimize_impl(
     max_iters: int,
     grad_tol: float,
     energy_args,
+    iter_caps=None,
+    grad_tols=None,
 ) -> BfgsResult:
     S, A, D = positions.shape
     N = D * A
@@ -198,6 +221,13 @@ def _minimize_impl(
     hess0 = jnp.broadcast_to(jnp.eye(N, dtype=positions.dtype), (S, N, N))
     dir0 = -g0
     failed0 = ~(jnp.isfinite(e0) & jnp.all(jnp.isfinite(g0), axis=1))
+    # zero-gradient convergence at entry (NR dfpmin's pre-loop test)
+    gs0 = jnp.abs(g0) * jnp.maximum(jnp.abs(pos0), 1.0)
+    tol0 = grad_tol if grad_tols is None else grad_tols
+    conv0 = (
+        jnp.max(jnp.where(dof_mask, gs0, 0.0), axis=1)
+        / jnp.maximum(jnp.abs(e0), 1.0)
+    ) < tol0
 
     def cond(st):
         converged, failed, it = st[4], st[5], st[6]
@@ -231,11 +261,17 @@ def _minimize_impl(
         new_e2, new_grad = eg_flat(new_pos)
         # scaled gradient test
         gscaled = jnp.abs(new_grad) * jnp.maximum(jnp.abs(new_pos), 1.0)
+        tol = grad_tol if grad_tols is None else grad_tols
         conv_g = (
             jnp.max(jnp.where(dof_mask, gscaled, 0.0), axis=1)
             / jnp.maximum(jnp.abs(new_e), 1.0)
-        ) < grad_tol
-        newly_conv = (conv_ls | (ls_ok & (conv_x | conv_g))) & active
+        ) < tol
+        # functional-decrease convergence (RDKit minimizer semantics):
+        # a step that changes the energy only at the noise floor is done
+        conv_f = 2.0 * jnp.abs(e - new_e2) <= TOLF * (
+            jnp.abs(e) + jnp.abs(new_e2) + 1e-10
+        )
+        newly_conv = (conv_ls | (ls_ok & (conv_x | conv_g | conv_f))) & active
 
         dgrad = new_grad - grad
         hdg = jnp.einsum("sij,sj->si", hess, dgrad)
@@ -260,6 +296,9 @@ def _minimize_impl(
         grad = jnp.where(upd, new_grad, grad)
         direction = -jnp.einsum("sij,sj->si", hess, grad)
         converged = converged | newly_conv
+        if iter_caps is not None:
+            # per-system budget exhausted without converging -> stop it
+            failed = failed | (active & ~newly_conv & (it + 1 >= iter_caps))
         return pos, e, grad, hess, converged, failed, it + 1, direction
 
     st0 = (
@@ -267,7 +306,7 @@ def _minimize_impl(
         e0,
         g0,
         hess0,
-        jnp.zeros(S, dtype=bool),
+        conv0 & ~failed0,
         failed0,
         jnp.int32(0),
         dir0,

@@ -46,6 +46,7 @@ import jax.numpy as jnp
 from nvmolkit_tpu.ops.bfgs import (
     EPS,
     FUNCTOL,
+    TOLF,
     MAXSTEP_FACTOR,
     MAX_LS_ITERS,
     MOVETOL,
@@ -138,6 +139,14 @@ def _flat_impl(fn, positions, atom_mask, max_iters, grad_tol, energy_args, m, ma
     pos0 = positions.reshape(S, N)
     e0, g0 = eg_flat(pos0)
     failed0 = ~(jnp.isfinite(e0) & jnp.all(jnp.isfinite(g0), axis=1))
+    # zero-gradient test BEFORE the first step (NR dfpmin does the same):
+    # re-minimizing an already-minimized system must exit immediately, not
+    # grind a full pathological line search at the f32 noise floor
+    gs0 = jnp.abs(g0) * jnp.maximum(jnp.abs(pos0), 1.0)
+    conv0 = (
+        jnp.max(jnp.where(dof_mask, gs0, 0.0), axis=1)
+        / jnp.maximum(jnp.abs(e0), 1.0)
+    ) < grad_tol
     dir0 = prep_direction(pos0, -g0)
 
     st0 = dict(
@@ -156,7 +165,7 @@ def _flat_impl(fn, positions, atom_mask, max_iters, grad_tol, energy_args, m, ma
         rho=jnp.zeros((m, S), dtype),
         gamma=jnp.ones(S, dtype),
         outer=jnp.zeros(S, jnp.int32),
-        converged=jnp.zeros(S, bool),
+        converged=conv0 & ~failed0,
         failed=failed0,
         capped=jnp.zeros(S, bool),
         steps=jnp.int32(0),
@@ -227,7 +236,14 @@ def _flat_impl(fn, positions, atom_mask, max_iters, grad_tol, energy_args, m, ma
             jnp.max(jnp.where(dof_mask, gscaled, 0.0), axis=1)
             / jnp.maximum(jnp.abs(e_t), 1.0)
         ) < grad_tol
-        newly_conv = accept & (conv_x | conv_g)
+        # functional-decrease test (RDKit minimizer convergence,
+        # ``ForceField/MinimizeLib``): an accepted step whose decrease is
+        # at the f32 noise floor is converged — without it a straggler
+        # grinds max_iters noise-accepts at ~8 probes each
+        conv_f = 2.0 * jnp.abs(e - e_t) <= TOLF * (
+            jnp.abs(e) + jnp.abs(e_t) + 1e-10
+        )
+        newly_conv = accept & (conv_x | conv_g | conv_f)
 
         dgrad = g_t - grad
         ys = jnp.sum(dgrad * xi, axis=1)

@@ -10,11 +10,28 @@ become padded dense arrays with masks — the natural TPU layout.
 from __future__ import annotations
 
 import dataclasses
+import enum
 
 import jax
 import numpy as np
 
 from nvmolkit_tpu.utils.config import HardwareOptions  # noqa: F401  (re-export)
+
+
+class CoordinateOutput(enum.Enum):
+    """How conformer-producing APIs hand back coordinates (the
+    reference's ``CoordinateOutput``, ``nvmolkit/types.py:165-177``).
+
+    - ``CONFORMERS``: write optimized coordinates back into each input
+      molecule's conformer list and return per-molecule Python results
+      (alias ``RDKIT_CONFORMERS`` for drop-in compatibility).
+    - ``DEVICE``: skip the writeback; return only the device-resident
+      :class:`Dense3DResult` for chaining without host round-trips.
+    """
+
+    CONFORMERS = "rdkit"
+    RDKIT_CONFORMERS = "rdkit"  # reference spelling (enum alias)
+    DEVICE = "device"
 
 
 class AsyncResult:

@@ -21,6 +21,7 @@ def UFFOptimizeMoleculesConfs(
     nonBondedThreshold: float | None = None,
     hardwareOptions: HardwareOptions | None = None,
     backend: str = "flat",
+    output=None,
 ):
     """Minimize all conformers of all molecules under UFF.
 
@@ -29,13 +30,16 @@ def UFFOptimizeMoleculesConfs(
     (0 = converged), ``dense`` a :class:`Dense3DResult` with minimized
     coordinates, energies and convergence flags.
     """
-    del ignoreInterfragInteractions, nonBondedThreshold  # parity args
+    del nonBondedThreshold  # UFF uses vdwThreshold (reference mirror)
 
     def make_batch(mols, max_atoms):
         # vdwThreshold prunes pairs whose combined well distance x_ij
         # exceeds it; the default (10 A) keeps every pair, matching the
         # reference's default behavior for drug-like molecules.
-        return make_batched_uff(mols, max_atoms, vdw_threshold=vdwThreshold)
+        return make_batched_uff(
+            mols, max_atoms, vdw_threshold=vdwThreshold,
+            ignore_interfrag=ignoreInterfragInteractions,
+        )
 
     energies, statuses, dense = optimize_molecules_confs(
         molecules,
@@ -49,4 +53,6 @@ def UFFOptimizeMoleculesConfs(
         [(statuses[m][c], energies[m][c]) for c in range(len(molecules[m].conformers))]
         for m in range(len(molecules))
     ]
-    return results, dense
+    from nvmolkit_tpu.models.optimize import finalize_output
+
+    return finalize_output(molecules, results, dense, output)

@@ -173,3 +173,35 @@ def test_compacting_driver_matches_plain(rng):
             uff_energy_and_grad, jnp.asarray(pos0), batch.atom_mask, batch,
             backend="nope",
         )
+
+
+def test_reminimizing_converged_batch_exits_fast(rng):
+    """Re-minimizing an already-minimized batch must exit in a handful
+    of steps (entry gradient test + functional-decrease convergence) —
+    a straggler grinding max_iters noise-floor accepts once cost 15x
+    the fresh-minimization time through the public API."""
+    import jax.numpy as jnp
+    from nvmolkit_tpu.chem import mol_from_smiles
+    from nvmolkit_tpu.models.uff.energy import make_batched_uff, uff_energy_and_grad
+    from nvmolkit_tpu.ops.lbfgs_flat import batched_lbfgs_flat_minimize
+
+    mols = [mol_from_smiles(s) for s in ("CCCCO", "CC(C)CO", "CCOCC")] * 4
+    A = 16
+    pos = jnp.asarray(
+        rng.standard_normal((len(mols), A, 3)).astype("float32") * 1.5
+    )
+    batch = make_batched_uff(mols, A)
+    first = batched_lbfgs_flat_minimize(
+        uff_energy_and_grad, pos, batch.atom_mask, max_iters=200,
+        energy_args=batch, max_steps=4000,
+    )
+    assert bool(first.converged.all())
+    again = batched_lbfgs_flat_minimize(
+        uff_energy_and_grad, first.positions, batch.atom_mask, max_iters=200,
+        energy_args=batch, max_steps=4000,
+    )
+    assert bool(again.converged.all())
+    assert int(again.n_iters) <= max(20, int(first.n_iters) // 4)
+    # and the energies did not drift upward
+    import numpy as np
+    assert np.all(np.asarray(again.energies) <= np.asarray(first.energies) + 1e-3)

@@ -95,3 +95,29 @@ def test_constraint_validation(rng):
         ff[0].add_distance_constraint(0, 9, 1.0, 2.0, 10.0)
     with pytest.raises(IndexError):
         ff[5]
+
+
+def test_per_molecule_maxiters_forcetol_broadcast(rng):
+    """Scalar-or-list broadcasting (reference batchedForcefield.py:325-330):
+    a tiny per-molecule iteration cap must leave that molecule unconverged
+    while the generously-budgeted one converges."""
+    from nvmolkit_tpu.chem import mol_from_smiles
+    from nvmolkit_tpu.batchedForcefield import UFFBatchedForcefield
+    import numpy as np
+    import pytest
+
+    mols = []
+    for _ in range(2):
+        m = mol_from_smiles("CCCCO")
+        m.conformers = [
+            (rng.standard_normal((m.num_atoms, 3)) * 1.5).astype(np.float32)
+        ]
+        mols.append(m)
+    ff = UFFBatchedForcefield(mols)
+    e, conv = ff.minimize(maxIters=[1, 300], forceTol=1e-4)
+    conv = np.asarray(conv.numpy())
+    assert not conv[0]       # capped at 1 iteration: cannot converge
+    assert conv[1]
+
+    with pytest.raises(ValueError, match="maxIters"):
+        UFFBatchedForcefield(mols).minimize(maxIters=[1, 2, 3])

@@ -167,3 +167,35 @@ class TestMinimizerDescent:
         e_after = np.asarray(dense.energies)[mask]
         assert e_after.shape == e_before.shape
         assert np.all(e_after <= e_before + 1e-3)
+
+
+class TestCoordinateOutput:
+    def test_default_writes_back_minimized_coords(self):
+        from nvmolkit_tpu.embedMolecules import EmbedMolecules, EmbedParameters
+        from nvmolkit_tpu.uffOptimization import UFFOptimizeMoleculesConfs
+        from nvmolkit_tpu.types import CoordinateOutput, Dense3DResult
+
+        mols = [mol_from_smiles("CCCCO")]
+        EmbedMolecules(mols, EmbedParameters(randomSeed=3), confsPerMolecule=2,
+                       maxIterations=10)
+        before = [c.copy() for c in mols[0].conformers]
+        results, dense = UFFOptimizeMoleculesConfs(mols, maxIters=80)
+        pos = np.asarray(dense.positions)
+        na = mols[0].num_atoms
+        for ci, conf in enumerate(mols[0].conformers):
+            np.testing.assert_array_equal(conf, pos[0, ci, :na])
+            assert not np.array_equal(conf, before[ci])  # actually moved
+
+        # DEVICE: no writeback, dense-only return
+        held = [c.copy() for c in mols[0].conformers]
+        out = UFFOptimizeMoleculesConfs(
+            mols, maxIters=80, output=CoordinateOutput.DEVICE
+        )
+        assert isinstance(out, Dense3DResult)
+        for ci, conf in enumerate(mols[0].conformers):
+            np.testing.assert_array_equal(conf, held[ci])
+
+    def test_enum_alias(self):
+        from nvmolkit_tpu.types import CoordinateOutput
+
+        assert CoordinateOutput.RDKIT_CONFORMERS is CoordinateOutput.CONFORMERS

@@ -174,3 +174,44 @@ def test_default_provider_prefers_par_files(tmp_path, monkeypatch):
     monkeypatch.delenv("NVMOLKIT_MMFF_PARAMS")
     prov2 = default_provider()
     assert type(prov2).__name__ == "EmpiricalMMFFProvider"
+
+
+def test_ignore_interfrag_interactions_drops_cross_fragment_pairs():
+    """A two-fragment molecule (salt-like '.') must have no cross-
+    fragment nonbonded terms under the default, and have them when the
+    flag is off (reference forwards the same flag to FF setup)."""
+    from nvmolkit_tpu.chem import mol_from_smiles
+    from nvmolkit_tpu.chem.mol import fragment_ids
+    from nvmolkit_tpu.models.mmff import MMFFProperties
+    from nvmolkit_tpu.models.mmff.providers import default_provider
+    import numpy as np
+
+    m = mol_from_smiles("CCO.CCN")
+    frag = fragment_ids(m)
+    assert len(set(frag.tolist())) == 2
+    prov = default_provider()
+
+    t_on = prov.build_terms(m, MMFFProperties(ignoreInterfragInteractions=True))
+    pairs_on = np.asarray(t_on.vdw.atoms[: t_on.vdw.n_terms])
+    assert all(frag[i] == frag[j] for i, j in pairs_on)
+
+    t_off = prov.build_terms(m, MMFFProperties(ignoreInterfragInteractions=False))
+    pairs_off = np.asarray(t_off.vdw.atoms[: t_off.vdw.n_terms])
+    assert any(frag[i] != frag[j] for i, j in pairs_off)
+    assert len(pairs_off) > len(pairs_on)
+
+
+def test_uff_interfrag_flag():
+    from nvmolkit_tpu.chem import mol_from_smiles
+    from nvmolkit_tpu.chem.mol import fragment_ids
+    from nvmolkit_tpu.models.uff.builder import build_uff_terms
+    import numpy as np
+
+    m = mol_from_smiles("CCO.CC")
+    frag = fragment_ids(m)
+    on = build_uff_terms(m, ignore_interfrag=True)
+    off = build_uff_terms(m, ignore_interfrag=False)
+    p_on = np.asarray(on.vdw.atoms[: on.vdw.n_terms])
+    p_off = np.asarray(off.vdw.atoms[: off.vdw.n_terms])
+    assert all(frag[i] == frag[j] for i, j in p_on)
+    assert any(frag[i] != frag[j] for i, j in p_off)
