@@ -62,10 +62,10 @@ class EmbedParameters:
     etkMinimizeIters: int = 150
     pruneRmsThresh: float = -1.0      # <=0 disables RMS pruning
     ignoreSmoothingFailures: bool = False  # embed with relaxed unsmoothed bounds
-    # "bfgs" (default, reference-matching NR BFGS) or "lbfgs": L-BFGS
-    # skips the [S, 4A, 4A] inverse-Hessian updates — ~15-20% faster
-    # end-to-end on drug-like batches with a marginal (<0.1%) drop in
-    # first-attempt embedding success
+    # "bfgs" (default, reference-matching NR BFGS; also the fastest
+    # measured end-to-end since the functional-decrease convergence test
+    # landed), "lbfgs" (two-loop, no [S, 4A, 4A] Hessian memory — use on
+    # memory-tight buckets), or "flat" (per-system stepping L-BFGS)
     minimizerBackend: str = "bfgs"
 
 
@@ -491,9 +491,13 @@ def _embed_bucket(
         from nvmolkit_tpu.ops.lbfgs import batched_lbfgs_minimize
 
         minimize = batched_lbfgs_minimize
+    elif params.minimizerBackend == "flat":
+        from nvmolkit_tpu.ops.lbfgs_flat import batched_lbfgs_flat_minimize
+
+        minimize = batched_lbfgs_flat_minimize
     else:
         raise ValueError(
-            f"minimizerBackend must be 'bfgs' or 'lbfgs', "
+            f"minimizerBackend must be 'bfgs', 'lbfgs' or 'flat', "
             f"got {params.minimizerBackend!r}"
         )
 
