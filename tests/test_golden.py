@@ -123,3 +123,50 @@ def test_regression_substruct_counts():
     )
     got = res.counts().tolist()
     assert got == data["counts"]
+
+
+def test_regression_ff_energies():
+    """Typing + term building + energy kernels snapshot (synthetic
+    deterministic conformers; tolerance covers CPU/TPU f32 reassociation)."""
+    data = _load("regression_ff_energies.json")
+    from nvmolkit_tpu.batchedForcefield import (
+        MMFFBatchedForcefield,
+        UFFBatchedForcefield,
+    )
+
+    rng = np.random.default_rng(data["seed"])
+    mols = []
+    for smi in data["smiles"]:
+        m = mol_from_smiles(smi)
+        m.conformers = [
+            (rng.standard_normal((m.num_atoms, 3)) * 1.7).astype(np.float32)
+        ]
+        mols.append(m)
+    uff = np.asarray(UFFBatchedForcefield(mols).compute_energy().numpy())
+    np.testing.assert_allclose(uff, data["uff"], rtol=1e-4, atol=1e-3)
+    mmff = np.asarray(MMFFBatchedForcefield(mols).compute_energy().numpy())
+    np.testing.assert_allclose(mmff, data["mmff"], rtol=1e-4, atol=1e-3)
+
+
+def test_regression_tfd():
+    data = _load("regression_tfd.json")
+    from nvmolkit_tpu.tfd import GetTFDMatrices
+
+    # reproduce the generator's RNG stream: it drew 40-mol FF conformers
+    # first (seed 12345), then the TFD conformers — re-derive both
+    ff_data = _load("regression_ff_energies.json")
+    rng = np.random.default_rng(ff_data["seed"])
+    for smi in ff_data["smiles"]:
+        m = mol_from_smiles(smi)
+        rng.standard_normal((m.num_atoms, 3))  # consume the FF draws
+    mols = []
+    for smi in data["smiles"]:
+        m = mol_from_smiles(smi)
+        m.conformers = [
+            (rng.standard_normal((m.num_atoms, 3)) * 1.7).astype(np.float32)
+            for _ in range(3)
+        ]
+        mols.append(m)
+    got = GetTFDMatrices(mols)
+    for g, want in zip(got, data["tfd"]):
+        np.testing.assert_allclose(g.numpy(), want, rtol=1e-4, atol=1e-4)
