@@ -54,6 +54,12 @@ class SubstructSearchConfig:
     # pairs drain to the host engines
     useDeviceEngine: bool = False
     deviceFrontierCap: int = 128
+    # reference spelling for deviceIds (``nvmolkit/substructure.py:72``)
+    gpuIds: list[int] | None = None
+
+    def __post_init__(self):
+        if self.gpuIds is not None and not self.deviceIds:
+            self.deviceIds = list(self.gpuIds)
 
 
 @dataclasses.dataclass
