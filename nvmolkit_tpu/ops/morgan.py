@@ -139,9 +139,31 @@ def morgan_kernel(
     atom_iota = jnp.arange(A, dtype=jnp.int32)
     slot_iota = jnp.arange(K, dtype=jnp.int32)
 
+    # One-hot neighbor selection (built once; adjacency is round-
+    # invariant). uint32 payloads split into exact 16-bit halves so the
+    # f32 one-hot contraction is lossless — elementwise dynamic-index
+    # gathers serialize on TPU (a [B, A, K, W] take_along_axis measured
+    # 25 ms per 8192-mol chunk per round).
+    adj_oh = jax.nn.one_hot(adj_atoms, A, dtype=jnp.bfloat16)  # [B,A,K,A]
+
+    def sel_u32(x):
+        hi = (x >> 16).astype(jnp.float32)
+        lo = (x & _U32(0xFFFF)).astype(jnp.float32)
+        if x.ndim == 2:   # [B, A] -> [B, A, K]
+            h = jnp.einsum("bika,ba->bik", adj_oh, hi,
+                           preferred_element_type=jnp.float32)
+            l = jnp.einsum("bika,ba->bik", adj_oh, lo,
+                           preferred_element_type=jnp.float32)
+        else:             # [B, A, W] -> [B, A, K, W]
+            h = jnp.einsum("bika,baw->bikw", adj_oh, hi,
+                           preferred_element_type=jnp.float32)
+            l = jnp.einsum("bika,baw->bikw", adj_oh, lo,
+                           preferred_element_type=jnp.float32)
+        return (h.astype(_U32) << 16) | l.astype(_U32)
+
     for rnd in range(1, radius + 1):
-        # gather neighbor invariants: [B, A, K]
-        nbr_inv = jnp.take_along_axis(inv, adj_atoms.reshape(B, A * K), axis=1).reshape(B, A, K)
+        # neighbor invariants: [B, A, K]
+        nbr_inv = sel_u32(inv)
 
         # sort (code, inv) pairs; invalid slots pushed last via max code
         code_key = jnp.where(adj_mask, adj_code, _U32(0xFFFFFFFF))
@@ -159,10 +181,7 @@ def morgan_kernel(
         next_inv = jnp.where(atom_mask & (degree > 0), seed, inv)
 
         # grow neighborhoods: own bonds | prev self | prev of neighbors
-        nbr_gather = jnp.take_along_axis(
-            nbr, adj_atoms.reshape(B, A * K)[..., None], axis=1
-        ).reshape(B, A, K, W)
-        nbr_gather = jnp.where(adj_mask[..., None], nbr_gather, _U32(0))
+        nbr_gather = jnp.where(adj_mask[..., None], sel_u32(nbr), _U32(0))
         union = jax.lax.reduce(
             nbr_gather, _U32(0), lambda a, b: jax.lax.bitwise_or(a, b), (2,)
         )
