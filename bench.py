@@ -209,8 +209,8 @@ def bench_etkdg() -> dict:
 
 _WORKERS = {
     "mmff": ("bench_mmff", 1500),
-    "butina": ("bench_fused_butina", 900),
-    "morgan": ("bench_morgan", 900),
+    "butina": ("bench_fused_butina", 1800),
+    "morgan": ("bench_morgan", 1200),
     "etkdg": ("bench_etkdg", 2400),
 }
 
