@@ -79,8 +79,16 @@ class SubstructMatchResults:
     n_targets: int
     n_queries: int
     overflowed: list[tuple[int, int]]
+    # counts-only fast path: populated instead of the CSR arrays when
+    # the caller only needs counts (no frontier fetch on device)
+    _counts: np.ndarray | None = None
 
     def matches(self, target_idx: int, query_idx: int) -> list[tuple[int, ...]]:
+        if self._counts is not None:
+            raise ValueError(
+                "this result was produced by a counts-only search; "
+                "use counts(), or call getSubstructMatches for atom indices"
+            )
         p = target_idx * self.n_queries + query_idx
         out = []
         for m in range(self.pair_indptr[p], self.pair_indptr[p + 1]):
@@ -90,6 +98,8 @@ class SubstructMatchResults:
 
     def counts(self) -> np.ndarray:
         """[n_targets, n_queries] match counts."""
+        if self._counts is not None:
+            return self._counts
         per_pair = np.diff(self.pair_indptr)
         return per_pair.reshape(self.n_targets, self.n_queries)
 
@@ -102,11 +112,59 @@ def _as_query(q) -> QueryMol:
     raise TypeError(f"query must be a SMARTS string or QueryMol, got {type(q)}")
 
 
+class SubstructLibrary:
+    """Precompiled target library for repeated substructure searches.
+
+    Featurizes every target once and caches the device engine's
+    bucketed compilation (stacked feature arrays, device-resident
+    adjacency stacks) across searches — the reference's compiled-target
+    design (``src/substruct/molecules.cpp`` compiles targets into
+    packed device structs; RDKit's ``SubstructLibrary`` is the
+    canonical API shape). Pass in place of the target list:
+
+        lib = SubstructLibrary(targets)
+        res = getSubstructMatches(lib, queries, config)
+    """
+
+    def __init__(self, targets: list[Mol]):
+        self.targets = list(targets)
+        # ring-membership counts are only needed by R<n> queries; build
+        # both feature variants lazily
+        self._tfs: list | None = None
+        self._tfs_ring = False
+        self._device_lib = None
+
+    def __len__(self) -> int:
+        return len(self.targets)
+
+    def features(self, need_ring_count: bool):
+        if self._tfs is None or (need_ring_count and not self._tfs_ring):
+            self._tfs = [
+                featurize_target(t, need_ring_count=need_ring_count)
+                for t in self.targets
+            ]
+            self._tfs_ring = self._tfs_ring or need_ring_count
+        return self._tfs
+
+    def device_library(self, tfs):
+        if self._device_lib is None:
+            from nvmolkit_tpu.ops.substruct_device import DeviceTargetLibrary
+            from nvmolkit_tpu.utils.config import HardwareOptions
+
+            self._device_lib = DeviceTargetLibrary(
+                tfs, HardwareOptions().atomBuckets
+            )
+        return self._device_lib
+
+
 def getSubstructMatches(
-    targets: list[Mol],
+    targets,
     queries: list,
     config: SubstructSearchConfig | None = None,
+    _counts_only: bool = False,
 ) -> SubstructMatchResults:
+    """``targets`` is a list of Mols or a :class:`SubstructLibrary`
+    (precompiled, reused across calls)."""
     cfg = config or SubstructSearchConfig()
     # reference semantics: maxMatches == 0 means unlimited
     mm = cfg.maxMatches if cfg.maxMatches > 0 else (2**31 - 1)
@@ -117,7 +175,13 @@ def getSubstructMatches(
     from nvmolkit_tpu.ops.substruct import query_uses_prop
 
     need_rc = any(query_uses_prop(q, "ring_count") for q in qmols)
-    tfs = [featurize_target(t, need_ring_count=need_rc) for t in targets]
+    if isinstance(targets, SubstructLibrary):
+        library = targets
+        targets = library.targets
+        tfs = library.features(need_rc)
+    else:
+        library = None
+        tfs = [featurize_target(t, need_ring_count=need_rc) for t in targets]
 
     from nvmolkit_tpu.chem.native_substruct import (
         native_substruct_available,
@@ -133,12 +197,23 @@ def getSubstructMatches(
 
     device_matches: dict[tuple[int, int], "np.ndarray"] = {}
     device_capped: set[tuple[int, int]] = set()
+    device_counts_only = (
+        _counts_only and not cfg.uniquify and cfg.maxMatches <= 0
+    )
     if cfg.useDeviceEngine and cfg.algorithm == SubstructAlgorithm.GSI:
+        import jax
+
         from nvmolkit_tpu.ops.substruct_device import (
             compile_query,
             device_substruct_matches,
         )
 
+        all_devices = jax.devices()
+        devices = (
+            [all_devices[i] for i in cfg.deviceIds]
+            if cfg.deviceIds
+            else [all_devices[0]]
+        )
         compiled = [compile_query(q) for q in qmols]
         all_pairs = [
             (ti, qi) for ti in range(len(tfs)) for qi in range(len(qmols))
@@ -147,6 +222,9 @@ def getSubstructMatches(
             all_pairs, tfs, qmols, compiled,
             max_matches=mm, uniquify=cfg.uniquify,
             frontier_cap=cfg.deviceFrontierCap,
+            library=library.device_library(tfs) if library else None,
+            counts_only=device_counts_only,
+            devices=devices,
         )
 
     native_matches = None
@@ -196,40 +274,83 @@ def getSubstructMatches(
         else:
             native_matches = {}
 
-    atom_indices: list[np.ndarray] = []
-    match_indptr = [0]
-    pair_indptr = [0]
-    overflowed: list[tuple[int, int]] = []
-    cursor_atoms = 0
     matcher = (
         find_matches_vf2 if cfg.algorithm == SubstructAlgorithm.VF2 else find_matches
     )
+    if device_counts_only and cfg.useDeviceEngine:
+        counts = np.full((len(tfs), len(qmols)), -1, np.int64)
+        overflowed = list(device_capped)
+        for (ti, qi), v in device_matches.items():
+            counts[ti, qi] = v
+        if native_matches is not None:
+            for (ti, qi), nm in native_matches.items():
+                if counts[ti, qi] < 0:
+                    counts[ti, qi] = len(nm)
+            overflowed.extend(
+                k for k in native_overflowed if k not in device_capped
+            )
+        for ti, qi in zip(*np.nonzero(counts < 0)):
+            m, over = matcher(
+                qmols[qi], tfs[ti], max_matches=mm, uniquify=cfg.uniquify
+            )
+            counts[ti, qi] = len(m)
+            if over:
+                overflowed.append((int(ti), int(qi)))
+        return SubstructMatchResults(
+            atom_indices=np.zeros(0, np.int32),
+            match_indptr=np.zeros(1, np.int64),
+            pair_indptr=np.zeros(len(tfs) * len(qmols) + 1, np.int64),
+            n_targets=len(targets),
+            n_queries=len(qmols),
+            overflowed=overflowed,
+            _counts=counts,
+        )
+
+    # vectorized CSR assembly: per pair one [Mi, nq] block; indptrs are
+    # built with bulk numpy ops (a per-match python loop measured ~40%
+    # of warm device-engine searches)
+    atom_chunks: list[np.ndarray] = []
+    n_pairs_total = len(tfs) * len(qmols)
+    pair_counts = np.zeros(n_pairs_total, np.int64)
+    pair_widths = np.zeros(n_pairs_total, np.int64)
+    overflowed: list[tuple[int, int]] = []
+    nq_of = [q.num_atoms for q in qmols]
+    p = 0
     for ti, tf in enumerate(tfs):
-        for qi, q in enumerate(qmols):
-            if (ti, qi) in device_matches:
-                m = device_matches[(ti, qi)]
-                over = (ti, qi) in device_capped
-            elif native_matches is not None and (ti, qi) in native_matches:
-                m = native_matches[(ti, qi)]
-                over = (ti, qi) in native_overflowed
+        for qi in range(len(qmols)):
+            key = (ti, qi)
+            m = device_matches.get(key)
+            if m is not None:
+                if key in device_capped:
+                    overflowed.append(key)
+            elif native_matches is not None and key in native_matches:
+                m = native_matches[key]
+                if key in native_overflowed:
+                    overflowed.append(key)
             else:
                 m, over = matcher(
-                    q, tf, max_matches=mm, uniquify=cfg.uniquify
+                    qmols[qi], tf, max_matches=mm, uniquify=cfg.uniquify
                 )
-            if over:
-                overflowed.append((ti, qi))
-            for row in m:
-                atom_indices.append(row)
-                cursor_atoms += len(row)
-                match_indptr.append(cursor_atoms)
-            pair_indptr.append(len(match_indptr) - 1)
+                if over:
+                    overflowed.append(key)
+            n_m = len(m)
+            if n_m:
+                pair_counts[p] = n_m
+                pair_widths[p] = nq_of[qi]
+                atom_chunks.append(np.asarray(m, np.int32).ravel())
+            p += 1
 
+    match_lens = np.repeat(pair_widths, pair_counts)
+    match_indptr = np.zeros(len(match_lens) + 1, np.int64)
+    np.cumsum(match_lens, out=match_indptr[1:])
+    pair_indptr = np.zeros(n_pairs_total + 1, np.int64)
+    np.cumsum(pair_counts, out=pair_indptr[1:])
     return SubstructMatchResults(
         atom_indices=(
-            np.concatenate(atom_indices) if atom_indices else np.zeros(0, np.int32)
+            np.concatenate(atom_chunks) if atom_chunks else np.zeros(0, np.int32)
         ),
-        match_indptr=np.asarray(match_indptr, np.int64),
-        pair_indptr=np.asarray(pair_indptr, np.int64),
+        match_indptr=match_indptr,
+        pair_indptr=pair_indptr,
         n_targets=len(targets),
         n_queries=len(qmols),
         overflowed=overflowed,
@@ -237,14 +358,20 @@ def getSubstructMatches(
 
 
 def countSubstructMatches(
-    targets: list[Mol], queries: list, config: SubstructSearchConfig | None = None
+    targets, queries: list, config: SubstructSearchConfig | None = None
 ) -> np.ndarray:
-    return getSubstructMatches(targets, queries, config).counts()
+    return getSubstructMatches(targets, queries, config, _counts_only=True).counts()
 
 
 def hasSubstructMatch(
-    targets: list[Mol], queries: list, config: SubstructSearchConfig | None = None
+    targets, queries: list, config: SubstructSearchConfig | None = None
 ) -> np.ndarray:
     cfg = config or SubstructSearchConfig()
+    if cfg.useDeviceEngine and not cfg.uniquify and cfg.maxMatches <= 0:
+        # counts-only device path: no frontier fetch at all
+        return (
+            getSubstructMatches(targets, queries, cfg, _counts_only=True)
+            .counts() > 0
+        )
     cfg = dataclasses.replace(cfg, maxMatches=1)
     return getSubstructMatches(targets, queries, cfg).counts() > 0
