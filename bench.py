@@ -207,11 +207,112 @@ def bench_etkdg() -> dict:
     }
 
 
+def bench_substruct() -> dict:
+    """Batched substructure library screen (BASELINE.md row 6): 8192
+    drug-sized targets x 8 functional-group SMARTS, device (TPU GSI
+    join) vs native (C++ host join) on the SAME workload through the
+    same public API. Reported value = device counts/sec (the canonical
+    screening operation); full-match enumeration for both engines in
+    the extra fields."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent / "benchmarks"))
+    from _common import make_druglike_smiles
+
+    from nvmolkit_tpu.chem.native import mols_from_smiles
+    from nvmolkit_tpu.substructure import (
+        SubstructLibrary,
+        SubstructSearchConfig,
+        countSubstructMatches,
+        getSubstructMatches,
+    )
+    from substruct_bench import QUERIES
+
+    targets = mols_from_smiles(make_druglike_smiles(8192))
+    n_pairs = len(targets) * len(QUERIES)
+    out = {}
+    total = {}
+    for engine in ("device", "native"):
+        cfg = SubstructSearchConfig(useDeviceEngine=(engine == "device"))
+        lib = SubstructLibrary(targets)
+        countSubstructMatches(lib, QUERIES[:2], cfg)  # compile/warm
+        getSubstructMatches(lib, QUERIES[:2], cfg)
+        best_c = best_m = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            cnt = countSubstructMatches(lib, QUERIES, cfg)
+            best_c = min(best_c, time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            res = getSubstructMatches(lib, QUERIES, cfg)
+            best_m = min(best_m, time.perf_counter() - t0)
+        out[engine] = (n_pairs / best_c, n_pairs / best_m)
+        total[engine] = int(cnt.sum())
+    assert total["device"] == total["native"], total
+    dev_c, dev_m = out["device"]
+    nat_c, nat_m = out["native"]
+    return {
+        "metric": "substruct_pairs_per_sec",
+        "value": dev_c,
+        "unit": "target-query pairs/sec (counts, device engine)",
+        "vs_baseline": None,
+        "vs_native": dev_c / nat_c,
+        "native_counts_pairs_per_sec": nat_c,
+        "device_matches_pairs_per_sec": dev_m,
+        "native_matches_pairs_per_sec": nat_m,
+        "n_pairs": n_pairs,
+        "total_matches": total["device"],
+    }
+
+
+def bench_tfd_rmsd() -> dict:
+    """TFD + conformer-RMSD matrices over 100-conformer ensembles
+    (BASELINE.md row 6)."""
+    from nvmolkit_tpu.chem.native import mols_from_smiles
+    from nvmolkit_tpu.conformerRmsd import GetConformerRMSMatrixBatch
+    from nvmolkit_tpu.embedMolecules import EmbedMolecules
+    from nvmolkit_tpu.tfd import GetTFDMatrices
+
+    mols = mols_from_smiles(_bench_mols(64))
+    EmbedMolecules(mols, confsPerMolecule=100, maxIterations=8)
+    mols = [m for m in mols if len(m.conformers) >= 2]
+    n_pairs = sum(
+        len(m.conformers) * (len(m.conformers) - 1) // 2 for m in mols
+    )
+
+    GetConformerRMSMatrixBatch(mols)  # compile
+    best_r = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = GetConformerRMSMatrixBatch(mols)
+        [o.numpy() for o in out]
+        best_r = min(best_r, time.perf_counter() - t0)
+
+    GetTFDMatrices(mols)  # compile
+    best_t = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = GetTFDMatrices(mols)
+        [o.numpy() for o in out]
+        best_t = min(best_t, time.perf_counter() - t0)
+    return {
+        "metric": "tfd_rmsd_100conf",
+        "value": n_pairs / best_t,
+        "unit": "TFD conformer-pairs/sec",
+        "vs_baseline": None,
+        "rmsd_pairs_per_sec": n_pairs / best_r,
+        "n_pairs": n_pairs,
+        "n_mols": len(mols),
+    }
+
+
 _WORKERS = {
     "mmff": ("bench_mmff", 1500),
     "butina": ("bench_fused_butina", 1800),
     "morgan": ("bench_morgan", 1200),
     "etkdg": ("bench_etkdg", 2400),
+    "substruct": ("bench_substruct", 2400),
+    "tfd_rmsd": ("bench_tfd_rmsd", 2400),
 }
 
 

@@ -61,6 +61,38 @@ def make_smiles(n: int) -> list[str]:
     raise ValueError(f"can only generate {len(out)} unique molecules")
 
 
+DRUG_CORES = [
+    "c1ccc({X})cc1",
+    "c1ccc2ccc({X})cc2c1",
+    "c1ccc({X})cn1",
+    "c1ccc2[nH]c({X})cc2c1",
+    "C1CCN(CC1){X}",
+]
+DRUG_LINKERS = ["C(=O)N", "S(=O)(=O)N", "CC(=O)N", "OC", "NC(=O)C"]
+
+
+def make_druglike_smiles(n: int, n_cores: int = 5) -> list[str]:
+    """n deterministic drug-sized SMILES (~50-60 atoms at n_cores=5):
+    aryl cores chained by amide/sulfonamide/ether linkers with three
+    substituents — the size class of real screening libraries, where
+    the reference's substructure benchmarks operate."""
+    out: list[str] = []
+    for combo in itertools.product(
+        itertools.product(SUBSTITUENTS, repeat=3),
+        range(len(DRUG_CORES)),
+        DRUG_LINKERS,
+        DRUG_LINKERS,
+    ):
+        (a, b, c), ci, lk, lk2 = combo
+        inner = a + b + c
+        for _ in range(n_cores - 1):
+            inner = lk2 + "c1ccc(" + inner + ")cc1"
+        out.append(DRUG_CORES[ci].replace("{X}", lk + inner))
+        if len(out) >= n:
+            return out
+    raise ValueError(f"can only generate {len(out)} unique molecules")
+
+
 def emit(metric: str, value: float, unit: str, baseline: float | None = None, **extra):
     rec = {"metric": metric, "value": value, "unit": unit}
     if baseline is not None:

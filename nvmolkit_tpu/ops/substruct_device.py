@@ -220,6 +220,10 @@ class DeviceTargetLibrary:
         self.tfs = tfs
         self.t_buckets = tuple(t_buckets)
         self._buckets: dict[int, _DeviceBucket] = {}
+        # learned per-query speculative extraction widths: after a
+        # search observes a query's max match count, repeated searches
+        # extract at that width up front and skip the rescue wave
+        self.spec_hint: dict[object, int] = {}
         by_T: dict[int, list[int]] = {}
         self.oversized: set[int] = set()
         for ti, tf in enumerate(tfs):
@@ -437,11 +441,13 @@ class _Launch:
     pairs: list[tuple[int, int]]   # (target_idx, query_idx), launch order
     cq: CompiledQuery
     T: int                         # target atom bucket
+    qkey: object                   # spec-hint key (query SMARTS)
     frontier: jax.Array            # [B, P, Q] device-resident
     counts_dev: jax.Array
     overflow_dev: jax.Array
     extract_dev: jax.Array | None
     n: int                         # live pairs (<= B)
+    spec_w: int = 0                # speculative extraction width
 
 
 def device_substruct_matches(
@@ -457,6 +463,8 @@ def device_substruct_matches(
     counts_only: bool = False,
     speculative_cap: int = 8,
     devices: list | None = None,
+    return_blocks: bool = False,
+    overlap_fn=None,
 ) -> tuple[
     dict[tuple[int, int], np.ndarray],
     set[tuple[int, int]],
@@ -483,6 +491,8 @@ def device_substruct_matches(
 
     debug = bool(os.environ.get("NVMOLKIT_SUBSTRUCT_DEBUG"))
     _t0 = _time.perf_counter()
+    if return_blocks and uniquify:
+        raise ValueError("return_blocks requires uniquify=False")
     if library is None:
         from nvmolkit_tpu.utils.config import HardwareOptions
 
@@ -508,6 +518,8 @@ def device_substruct_matches(
 
     # ---- wave 1: dispatch all joins + speculative extracts ----------
     launches: list[_Launch] = []
+    prefiltered: list[tuple[int, int]] = []
+    direct_blocks: list[tuple] = []
     dev_cycle = 0
     for (T, Q, E), by_query in grouped.items():
         bucket = library.bucket(T)
@@ -522,13 +534,55 @@ def device_substruct_matches(
             nonempty = labs.any(axis=2).all(axis=1)           # [Nb]
             live = nonempty[rows_all]
             for ti in np.asarray(tids)[~live]:
-                results[(int(ti), qi)] = (
-                    0 if counts_only else np.zeros((0, cq.nq), np.int32)
-                )
+                if return_blocks:
+                    prefiltered.append((int(ti), qi))
+                else:
+                    results[(int(ti), qi)] = (
+                        0 if counts_only else np.zeros((0, cq.nq), np.int32)
+                    )
             live_tids = [t for t, ok in zip(tids, live) if ok]
             if not live_tids:
                 continue
             live_rows = rows_all[live]
+            if cq.nq == 1:
+                # single-atom queries are a pure label read — no join
+                sub = labs[live_rows, 0, :]                   # [n, T]
+                cnts = sub.sum(axis=1).astype(np.int64)
+                cap_hit = cnts > max_matches
+                if cap_hit.any():
+                    for k in np.nonzero(cap_hit)[0]:
+                        capped.add((int(live_tids[k]), qi))
+                if counts_only:
+                    cnts = np.minimum(cnts, max_matches)
+                    if return_blocks:
+                        direct_blocks.append((
+                            np.asarray(live_tids, np.int64),
+                            np.full(len(live_tids), qi, np.int64),
+                            cnts, None, 0,
+                        ))
+                    else:
+                        for k, t in enumerate(live_tids):
+                            results[(int(t), qi)] = int(cnts[k])
+                    continue
+                _r, cols = np.nonzero(sub)
+                flat = cols.astype(np.int32)[:, None]
+                if cap_hit.any():
+                    kept_parts = np.split(flat, np.cumsum(cnts)[:-1])
+                    flat = np.concatenate(
+                        [r[:max_matches] for r in kept_parts]
+                    ) if kept_parts else flat
+                    cnts = np.minimum(cnts, max_matches)
+                if return_blocks:
+                    direct_blocks.append((
+                        np.asarray(live_tids, np.int64),
+                        np.full(len(live_tids), qi, np.int64),
+                        cnts, flat, 1,
+                    ))
+                else:
+                    parts = np.split(flat, np.cumsum(cnts)[:-1])
+                    for k, t in enumerate(live_tids):
+                        results[(int(t), qi)] = parts[k]
+                continue
             packed_all = np.packbits(
                 labs, axis=2, bitorder="little"
             )                                                 # [Nb, nq, W']
@@ -562,25 +616,51 @@ def device_substruct_matches(
                 )
                 launches.append(_Launch(
                     pairs=[(int(t), qi) for t in live_tids[sl]],
-                    cq=cq, T=T, frontier=frontier, counts_dev=counts,
+                    cq=cq, T=T, qkey=qmols[qi].smarts or id(qmols[qi]),
+                    frontier=frontier, counts_dev=counts,
                     overflow_dev=over, extract_dev=None, n=n,
                 ))
 
     _t1 = _time.perf_counter()
     if not launches:
+        if overlap_fn is not None:
+            overlap_fn()
+        if return_blocks:
+            blocks = list(direct_blocks)
+            return _prefiltered_blocks(blocks, prefiltered, counts_only), \
+                unresolved, capped
         return results, unresolved, capped
 
     # speculative extraction: common trailing shape (nqm, dtype) across
-    # launches so extracts concatenate into one fetched buffer;
-    # int8 is safe iff every T bucket in play keeps atom ids < 128
+    # launches so same-width extracts concatenate into one fetched
+    # buffer; int8 is safe iff every T bucket keeps atom ids < 128.
+    # Width per launch = the library's learned per-query hint when one
+    # exists (repeated searches then skip the rescue wave entirely).
     nqm = max(ln.cq.nq for ln in launches)
     small = max(ln.T for ln in launches) <= 128
     spec = max(1, min(speculative_cap, P))
     if not counts_only:
         for ln in launches:
-            ln.extract_dev = _extract(ln.frontier, spec, nqm, small)
+            hint = library.spec_hint.get(ln.qkey)
+            if hint is None or hint <= spec:
+                ln.spec_w = spec
+            else:
+                ln.spec_w = min(
+                    next((w for w in _RESCUE_LADDER if w >= hint), P), P
+                )
+            ln.extract_dev = _extract(ln.frontier, ln.spec_w, nqm, small)
+
+    if overlap_fn is not None:
+        # host work (e.g. the native-engine drain of device-unsupported
+        # query columns) overlaps the in-flight device joins — the
+        # reference overlaps its RDKit fallback queue the same way
+        # (``substruct_search_internal.h:216-259``)
+        overlap_fn()
 
     # ---- one blocking fetch per device ------------------------------
+    # counts + overflow + one extract concat per distinct width, all in
+    # a single device_get (separate small fetches measured pathological
+    # over the tunnel)
     by_dev: dict[object, list[_Launch]] = {}
     for ln in launches:
         by_dev.setdefault(list(ln.counts_dev.devices())[0], []).append(ln)
@@ -590,19 +670,31 @@ def device_substruct_matches(
         over_cat = _concat0([ln.overflow_dev for ln in dev_launches])
         if counts_only:
             counts_np, over_np = jax.device_get((counts_cat, over_cat))
-            ext_np = None
+            ext_groups_np = {}
         else:
-            ext_cat = _concat0([ln.extract_dev for ln in dev_launches])
-            counts_np, over_np, ext_np = jax.device_get(
-                (counts_cat, over_cat, ext_cat)
+            widths = sorted({ln.spec_w for ln in dev_launches})
+            ext_cats = {
+                w: _concat0([
+                    ln.extract_dev for ln in dev_launches if ln.spec_w == w
+                ])
+                for w in widths
+            }
+            counts_np, over_np, ext_groups_np = jax.device_get(
+                (counts_cat, over_cat, ext_cats)
             )
         off = 0
+        group_off = dict.fromkeys(ext_groups_np, 0)
         for ln in dev_launches:
             B = ln.counts_dev.shape[0]
+            ext = None
+            if not counts_only:
+                g = group_off[ln.spec_w]
+                ext = ext_groups_np[ln.spec_w][g:g + B]
+                group_off[ln.spec_w] = g + B
             fetched[id(ln)] = (
                 counts_np[off:off + B],
                 over_np[off:off + B],
-                None if ext_np is None else ext_np[off:off + B],
+                ext,
             )
             off += B
 
@@ -617,14 +709,18 @@ def device_substruct_matches(
         for ln in launches:
             counts_np, over_np, _ = fetched[id(ln)]
             mx = int(counts_np[:ln.n].max(initial=0))
-            if mx > spec:
+            # remember this query's match-count ceiling for next time
+            prev = library.spec_hint.get(ln.qkey, 0)
+            if mx > prev:
+                library.spec_hint[ln.qkey] = mx
+            if mx > ln.spec_w:
                 need_w = max(need_w, mx)
         if need_w:
             width = next((w for w in _RESCUE_LADDER if w >= need_w), P)
             width = min(width, P)
             for ln in launches:
                 counts_np, _over, _ = fetched[id(ln)]
-                if int(counts_np[:ln.n].max(initial=0)) > spec:
+                if int(counts_np[:ln.n].max(initial=0)) > ln.spec_w:
                     rescue.append(
                         (ln, _extract(ln.frontier, width, nqm, small))
                     )
@@ -640,44 +736,89 @@ def device_substruct_matches(
 
     _t3 = _time.perf_counter()
     # ---- decode (vectorized per launch) -----------------------------
+    # blocks mode returns (ti_arr, qi_arr, counts, flat_rows, width)
+    # tuples with overflowed pairs already removed — the caller
+    # assembles the final CSR with bulk numpy ops, no per-pair python
+    blocks: list[tuple] = list(direct_blocks)
     for ln in launches:
         counts_np, over_np, ext_np = fetched[id(ln)]
         cq = ln.cq
         n = ln.n
         counts_np = counts_np[:n].astype(np.int64)
         over_np = over_np[:n]
+        if over_np.any():
+            for b in np.nonzero(over_np)[0]:
+                unresolved.add(ln.pairs[b])
         if counts_only:
-            for b, key in enumerate(ln.pairs):
-                if over_np[b]:
-                    unresolved.add(key)
-                else:
-                    c = int(counts_np[b])
-                    if c > max_matches:
-                        c = max_matches
-                        capped.add(key)
-                    results[key] = c
+            cap_mask = counts_np > max_matches
+            if cap_mask.any():
+                for b in np.nonzero(cap_mask & ~over_np)[0]:
+                    capped.add(ln.pairs[b])
+                counts_np = np.minimum(counts_np, max_matches)
+            if return_blocks:
+                live = ~over_np
+                ti_arr = np.fromiter(
+                    (t for t, _ in ln.pairs), np.int64, n
+                )[live]
+                qi = ln.pairs[0][1]
+                blocks.append((
+                    ti_arr, np.full(len(ti_arr), qi, np.int64),
+                    counts_np[live], None, 0,
+                ))
+            else:
+                for b, key in enumerate(ln.pairs):
+                    if not over_np[b]:
+                        results[key] = int(counts_np[b])
             continue
         maxc = ext_np.shape[1]
         arr = ext_np[:n, :, : cq.nq]                     # [n, maxc, nq]
-        keep = np.arange(maxc)[None, :] < np.minimum(counts_np, maxc)[:, None]
+        kept = np.minimum(counts_np, maxc)
+        keep = np.arange(maxc)[None, :] < kept[:, None]
         flat = arr.reshape(-1, cq.nq)[keep.ravel()].astype(np.int32)
         flat = flat[:, cq.perm]                          # query-atom order
-        splits = np.cumsum(np.minimum(counts_np, maxc))[:-1]
-        per_pair = np.split(flat, splits)
-        for b, key in enumerate(ln.pairs):
-            if over_np[b]:
-                unresolved.add(key)
-                continue
-            rows = per_pair[b]
-            if uniquify:
-                rows, was_capped = uniquify_rows(rows, max_matches)
-            elif len(rows) > max_matches:
-                rows, was_capped = rows[:max_matches], True
-            else:
-                was_capped = False
-            if was_capped:
-                capped.add(key)
-            results[key] = rows
+        if uniquify:
+            splits = np.cumsum(kept)[:-1]
+            per_pair = np.split(flat, splits)
+            for b, key in enumerate(ln.pairs):
+                if over_np[b]:
+                    continue
+                rows, was_capped = uniquify_rows(per_pair[b], max_matches)
+                if was_capped:
+                    capped.add(key)
+                results[key] = rows
+            continue
+        cap_mask = kept > max_matches
+        if cap_mask.any():
+            for b in np.nonzero(cap_mask & ~over_np)[0]:
+                capped.add(ln.pairs[b])
+            # re-split and truncate only when a cap actually bit
+            splits = np.cumsum(kept)[:-1]
+            per_pair = np.split(flat, splits)
+            per_pair = [r[:max_matches] for r in per_pair]
+            kept = np.minimum(kept, max_matches)
+            flat = np.concatenate(per_pair) if per_pair else flat[:0]
+        if over_np.any():
+            # drop rows of overflowed pairs (they drain to host)
+            keep_pairs = ~over_np
+            seg = np.repeat(keep_pairs, kept)
+            flat = flat[seg]
+            kept = kept * keep_pairs
+        if return_blocks:
+            live = ~over_np
+            ti_arr = np.fromiter(
+                (t for t, _ in ln.pairs), np.int64, n
+            )[live]
+            qi = ln.pairs[0][1]
+            blocks.append((
+                ti_arr, np.full(len(ti_arr), qi, np.int64),
+                kept[live], flat, cq.nq,
+            ))
+        else:
+            splits = np.cumsum(kept)[:-1]
+            per_pair = np.split(flat, splits)
+            for b, key in enumerate(ln.pairs):
+                if not over_np[b]:
+                    results[key] = per_pair[b]
     if debug:
         _t4 = _time.perf_counter()
         print(
@@ -685,4 +826,19 @@ def device_substruct_matches(
             f"dispatch={_t1 - _t0:.3f}s fetch={_t2 - _t1:.3f}s "
             f"rescue={_t3 - _t2:.3f}s decode={_t4 - _t3:.3f}s"
         )
+    if return_blocks:
+        return _prefiltered_blocks(blocks, prefiltered, counts_only), \
+            unresolved, capped
     return results, unresolved, capped
+
+
+def _prefiltered_blocks(blocks: list, prefiltered: list, counts_only: bool):
+    """Append the label-prefiltered (zero-match) pairs as one block."""
+    if prefiltered:
+        ti_arr = np.fromiter((t for t, _ in prefiltered), np.int64)
+        qi_arr = np.fromiter((q for _, q in prefiltered), np.int64)
+        blocks.append((
+            ti_arr, qi_arr, np.zeros(len(prefiltered), np.int64),
+            None if counts_only else np.zeros((0, 1), np.int32), 1,
+        ))
+    return blocks

@@ -196,10 +196,13 @@ def getSubstructMatches(
     )
 
     device_matches: dict[tuple[int, int], "np.ndarray"] = {}
+    device_blocks: list | None = None
     device_capped: set[tuple[int, int]] = set()
+    device_qis: set[int] = set()
     device_counts_only = (
         _counts_only and not cfg.uniquify and cfg.maxMatches <= 0
     )
+    use_blocks = False
     if cfg.useDeviceEngine and cfg.algorithm == SubstructAlgorithm.GSI:
         import jax
 
@@ -215,30 +218,30 @@ def getSubstructMatches(
             else [all_devices[0]]
         )
         compiled = [compile_query(q) for q in qmols]
+        device_qis = {
+            qi for qi, c in enumerate(compiled)
+            if c is not None and not c.has_recursive
+        }
         all_pairs = [
             (ti, qi) for ti in range(len(tfs)) for qi in range(len(qmols))
         ]
-        device_matches, _unresolved, device_capped = device_substruct_matches(
-            all_pairs, tfs, qmols, compiled,
-            max_matches=mm, uniquify=cfg.uniquify,
-            frontier_cap=cfg.deviceFrontierCap,
-            library=library.device_library(tfs) if library else None,
-            counts_only=device_counts_only,
-            devices=devices,
-        )
+        use_blocks = not cfg.uniquify
 
-    native_matches = None
-    native_overflowed: set[tuple[int, int]] = set()
-    if use_native and cfg.useDeviceEngine:
-        # drain whole query columns the device engine cannot run
-        # (recursive SMARTS, oversized queries) to the native C++ engine
-        # rather than the Python matcher
-        device_qis = {qi for (_ti, qi) in device_matches}
-        connected_ids = [
-            qi for qi, q in enumerate(qmols)
-            if qi not in device_qis and _is_connected(q)
-        ]
-        if connected_ids:
+        drain_out: dict = {}
+
+        def _drain_unsupported_columns():
+            # drain whole query columns the device engine cannot run
+            # (recursive SMARTS, oversized queries) to the native C++
+            # engine; runs WHILE the device joins are in flight
+            if not use_native:
+                return
+            connected_ids = [
+                qi for qi, q in enumerate(qmols)
+                if qi not in device_qis and _is_connected(q)
+            ]
+            if not connected_ids:
+                drain_out["matches"] = {}
+                return
             nm, nover = native_substruct_search(
                 tfs,
                 [qmols[qi] for qi in connected_ids],
@@ -246,13 +249,35 @@ def getSubstructMatches(
                 uniquify=cfg.uniquify,
                 n_threads=max(0, cfg.workerThreads),
             )
-            native_matches = {}
+            nmatches = {}
             for ti in range(len(tfs)):
                 for k, qi in enumerate(connected_ids):
-                    native_matches[(ti, qi)] = nm[ti][k]
-            native_overflowed = {
+                    nmatches[(ti, qi)] = nm[ti][k]
+            drain_out["matches"] = nmatches
+            drain_out["overflowed"] = {
                 (ti, connected_ids[k]) for (ti, k) in nover
             }
+
+        out, _unresolved, device_capped = device_substruct_matches(
+            all_pairs, tfs, qmols, compiled,
+            max_matches=mm, uniquify=cfg.uniquify,
+            frontier_cap=cfg.deviceFrontierCap,
+            library=library.device_library(tfs) if library else None,
+            counts_only=device_counts_only,
+            devices=devices,
+            return_blocks=use_blocks,
+            overlap_fn=_drain_unsupported_columns,
+        )
+        if use_blocks:
+            device_blocks = out
+        else:
+            device_matches = out
+
+    native_matches = None
+    native_overflowed: set[tuple[int, int]] = set()
+    if cfg.useDeviceEngine and cfg.algorithm == SubstructAlgorithm.GSI:
+        native_matches = drain_out.get("matches")
+        native_overflowed = drain_out.get("overflowed", set())
     elif use_native and not cfg.useDeviceEngine:
         # disconnected queries go through the Python component combiner
         connected_ids = [qi for qi, q in enumerate(qmols) if _is_connected(q)]
@@ -277,6 +302,11 @@ def getSubstructMatches(
     matcher = (
         find_matches_vf2 if cfg.algorithm == SubstructAlgorithm.VF2 else find_matches
     )
+    if use_blocks and device_blocks is not None:
+        return _assemble_from_blocks(
+            device_blocks, device_capped, native_matches, native_overflowed,
+            tfs, qmols, matcher, mm, cfg, len(targets), device_counts_only,
+        )
     if device_counts_only and cfg.useDeviceEngine:
         counts = np.full((len(tfs), len(qmols)), -1, np.int64)
         overflowed = list(device_capped)
@@ -353,6 +383,111 @@ def getSubstructMatches(
         pair_indptr=pair_indptr,
         n_targets=len(targets),
         n_queries=len(qmols),
+        overflowed=overflowed,
+    )
+
+
+def _assemble_from_blocks(
+    device_blocks,
+    device_capped,
+    native_matches,
+    native_overflowed,
+    tfs,
+    qmols,
+    matcher,
+    mm,
+    cfg,
+    n_targets,
+    counts_only,
+) -> SubstructMatchResults:
+    """Assemble the final CSR from the device engine's vectorized
+    result blocks plus host fills for unresolved pairs — bulk numpy
+    only, no per-match (and almost no per-pair) python."""
+    NQ = len(qmols)
+    n_pairs_total = len(tfs) * NQ
+    counts_flat = np.full(n_pairs_total, -1, np.int64)
+    for ti_arr, qi_arr, cnts, _flat, _w in device_blocks:
+        counts_flat[ti_arr * NQ + qi_arr] = cnts
+    overflowed: list[tuple[int, int]] = list(device_capped)
+
+    host_rows: dict[int, np.ndarray] = {}
+    if native_matches is not None:
+        for (ti, qi), m_arr in native_matches.items():
+            p = ti * NQ + qi
+            if counts_flat[p] < 0:
+                counts_flat[p] = len(m_arr)
+                if (ti, qi) in native_overflowed:
+                    overflowed.append((ti, qi))
+                if not counts_only and len(m_arr):
+                    host_rows[p] = np.asarray(m_arr, np.int32)
+    for p in np.nonzero(counts_flat < 0)[0]:
+        ti, qi = divmod(int(p), NQ)
+        m, over = matcher(
+            qmols[qi], tfs[ti], max_matches=mm, uniquify=cfg.uniquify
+        )
+        counts_flat[p] = len(m)
+        if over:
+            overflowed.append((ti, qi))
+        if not counts_only and len(m):
+            host_rows[p] = np.asarray(m, np.int32)
+
+    if counts_only:
+        return SubstructMatchResults(
+            atom_indices=np.zeros(0, np.int32),
+            match_indptr=np.zeros(1, np.int64),
+            pair_indptr=np.zeros(n_pairs_total + 1, np.int64),
+            n_targets=n_targets,
+            n_queries=NQ,
+            overflowed=overflowed,
+            _counts=counts_flat.reshape(len(tfs), NQ),
+        )
+
+    # gather every match row (device blocks + host fills), stably
+    # ordered by flat pair index, with variable row widths
+    rows_pair_parts: list[np.ndarray] = []
+    rows_w_parts: list[np.ndarray] = []
+    atom_parts: list[np.ndarray] = []
+    for ti_arr, qi_arr, cnts, flat, w in device_blocks:
+        if flat is None or not len(flat):
+            continue
+        rows_pair_parts.append(np.repeat(ti_arr * NQ + qi_arr, cnts))
+        rows_w_parts.append(np.full(len(flat), w, np.int64))
+        atom_parts.append(flat.ravel())
+    for p, arr in host_rows.items():
+        rows_pair_parts.append(np.full(len(arr), p, np.int64))
+        rows_w_parts.append(np.full(len(arr), arr.shape[1], np.int64))
+        atom_parts.append(arr.ravel().astype(np.int32))
+
+    pair_indptr = np.zeros(n_pairs_total + 1, np.int64)
+    np.cumsum(counts_flat, out=pair_indptr[1:])
+    if not rows_pair_parts:
+        return SubstructMatchResults(
+            atom_indices=np.zeros(0, np.int32),
+            match_indptr=np.zeros(1, np.int64),
+            pair_indptr=pair_indptr,
+            n_targets=n_targets,
+            n_queries=NQ,
+            overflowed=overflowed,
+        )
+    rows_pair = np.concatenate(rows_pair_parts)
+    rows_w = np.concatenate(rows_w_parts)
+    atoms_cat = np.concatenate(atom_parts)
+    rows_start = np.zeros(len(rows_w), np.int64)
+    np.cumsum(rows_w[:-1], out=rows_start[1:])
+    order = np.argsort(rows_pair, kind="stable")
+    w_o = rows_w[order]
+    s_o = rows_start[order]
+    total = int(w_o.sum())
+    match_indptr = np.zeros(len(w_o) + 1, np.int64)
+    np.cumsum(w_o, out=match_indptr[1:])
+    out_starts = match_indptr[:-1]
+    idx = np.repeat(s_o - out_starts, w_o) + np.arange(total)
+    return SubstructMatchResults(
+        atom_indices=atoms_cat[idx],
+        match_indptr=match_indptr,
+        pair_indptr=pair_indptr,
+        n_targets=n_targets,
+        n_queries=NQ,
         overflowed=overflowed,
     )
 
