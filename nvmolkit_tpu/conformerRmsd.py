@@ -15,16 +15,12 @@ import numpy as np
 import jax.numpy as jnp
 
 from nvmolkit_tpu.chem.mol import Mol
-from nvmolkit_tpu.ops.kabsch import batched_kabsch_rmsd, plain_rmsd
+from nvmolkit_tpu.ops.kabsch import conformer_rms_matrices
 from nvmolkit_tpu.types import AsyncResult
 
-
-def _pairs(n: int) -> np.ndarray:
-    idx = []
-    for i in range(1, n):
-        for j in range(i):
-            idx.append((i, j))
-    return np.asarray(idx, np.int32).reshape(-1, 2)
+# molecules per kernel launch, bounded so the [M, C*3, C*3] Gram block
+# stays well under HBM pressure even at C in the hundreds
+_GRAM_BUDGET = 1 << 28  # f32 elements across the chunk's Gram matrices
 
 
 def GetConformerRMSMatrix(
@@ -38,42 +34,78 @@ def GetConformerRMSMatrix(
 
 
 def GetConformerRMSMatrixBatch(
-    mols: list[Mol], prealigned: bool = False, heavyAtomsOnly: bool = False
+    mols: list[Mol],
+    prealigned: bool = False,
+    heavyAtomsOnly: bool = False,
+    positionsFrom=None,
 ) -> list[AsyncResult]:
-    """Batched condensed RMSD matrices, one per molecule."""
+    """Batched condensed RMSD matrices, one per molecule.
+
+    Only the conformer stacks — not the C^2/2 pair stacks — cross to
+    the device; every pairwise covariance comes out of one Gram matmul
+    per molecule (:func:`conformer_rms_matrices`). The condensed
+    lower-triangle vectors (index (i, j), i > j) are host slices of
+    the [C, C] result.
+
+    ``positionsFrom`` chains a device-resident Dense3DResult (embed or
+    optimize output) as the coordinate source: the kernel reads its
+    ``positions`` array in place, so conformer coordinates never leave
+    device memory (only the [C, C] RMSD matrices come back)."""
     if not mols:
         return []
+    if positionsFrom is not None:
+        pf = positionsFrom
+        amax = int(pf.positions.shape[2])
+        mask = np.zeros((len(mols), amax), bool)
+        for s, m in enumerate(mols):
+            if heavyAtomsOnly:
+                mask[s, : m.num_atoms] = [a.atomic_num > 1 for a in m.atoms]
+            else:
+                mask[s, : m.num_atoms] = True
+        rms = np.asarray(
+            conformer_rms_matrices(
+                jnp.asarray(pf.positions, jnp.float32),
+                jnp.asarray(mask),
+                prealigned,
+            )
+        )
+        cmask = np.asarray(pf.conf_mask)
+        out = []
+        for s in range(len(mols)):
+            slots = np.nonzero(cmask[s])[0]
+            sub = rms[s][np.ix_(slots, slots)]
+            tri_s = np.tril_indices(len(slots), k=-1)
+            out.append(AsyncResult(np.ascontiguousarray(sub[tri_s])))
+        return out
     max_atoms = max(m.num_atoms for m in mols)
+    max_conf = max(len(m.conformers) for m in mols)
+    if min(len(m.conformers) for m in mols) < 2:
+        raise ValueError("every molecule needs at least 2 conformers")
 
-    all_a, all_b, all_mask, counts = [], [], [], []
-    for m in mols:
-        n_conf = len(m.conformers)
-        if n_conf < 2:
-            raise ValueError("every molecule needs at least 2 conformers")
-        pairs = _pairs(n_conf)
-        counts.append(len(pairs))
-        mask_row = np.zeros(max_atoms, bool)
-        if heavyAtomsOnly:
-            heavy = np.asarray([a.atomic_num > 1 for a in m.atoms])
-            mask_row[: m.num_atoms] = heavy
-        else:
-            mask_row[: m.num_atoms] = True
-        confs = np.zeros((n_conf, max_atoms, 3), np.float32)
-        for c, coords in enumerate(m.conformers):
-            confs[c, : m.num_atoms] = coords
-        all_a.append(confs[pairs[:, 0]])
-        all_b.append(confs[pairs[:, 1]])
-        all_mask.append(np.broadcast_to(mask_row, (len(pairs), max_atoms)))
-
-    pos_a = jnp.asarray(np.concatenate(all_a))
-    pos_b = jnp.asarray(np.concatenate(all_b))
-    mask = jnp.asarray(np.concatenate(all_mask))
-    fn = plain_rmsd if prealigned else batched_kabsch_rmsd
-    # one launch + one transfer; per-molecule results are host slices
-    rms = np.asarray(fn(pos_a, pos_b, mask))
-
-    out, cursor = [], 0
-    for c in counts:
-        out.append(AsyncResult(rms[cursor : cursor + c]))
-        cursor += c
+    per_launch = max(1, _GRAM_BUDGET // max(1, (max_conf * 3) ** 2))
+    tri = np.tril_indices(max_conf, k=-1)
+    out: list[AsyncResult] = []
+    for lo in range(0, len(mols), per_launch):
+        chunk = mols[lo : lo + per_launch]
+        confs = np.zeros((len(chunk), max_conf, max_atoms, 3), np.float32)
+        mask = np.zeros((len(chunk), max_atoms), bool)
+        for s, m in enumerate(chunk):
+            if heavyAtomsOnly:
+                mask[s, : m.num_atoms] = [a.atomic_num > 1 for a in m.atoms]
+            else:
+                mask[s, : m.num_atoms] = True
+            for c, coords in enumerate(m.conformers):
+                confs[s, c, : m.num_atoms] = coords
+        rms = np.asarray(
+            conformer_rms_matrices(
+                jnp.asarray(confs), jnp.asarray(mask), prealigned
+            )
+        )
+        # condensed vector: row-major over (i, j), i > j — matches the
+        # reference's butina-ready layout
+        cond = rms[:, tri[0], tri[1]]                  # [M, maxC*(maxC-1)/2]
+        for s, m in enumerate(chunk):
+            c = len(m.conformers)
+            keep = tri[0] < c
+            out.append(AsyncResult(np.ascontiguousarray(cond[s, keep])))
     return out
