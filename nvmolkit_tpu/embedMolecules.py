@@ -56,9 +56,14 @@ class EmbedParameters:
     firstMinimizeIters: int = 400
     fourthDimMinimizeIters: int = 200
     useBasicKnowledge: bool = True    # ETK improper (planarity) 3-D stage
-    # experimental-torsion preferences: ON by default (the embedded core
+    # experimental-torsion preferences: ON by default (the embedded
     # library, models/etkdg_torsions); pass torsionProvider to override
     useExpTorsionAnglePrefs: bool = True
+    # opt-in ring-bond torsion tiers (ETKDGv3's useSmallRingTorsions /
+    # useMacrocycleTorsions): 3-6-ring pucker staggering and 9+-ring
+    # anti-bias rule sets
+    useSmallRingTorsions: bool = False
+    useMacrocycleTorsions: bool = False
     etkMinimizeIters: int = 150
     pruneRmsThresh: float = -1.0      # <=0 disables RMS pruning
     ignoreSmoothingFailures: bool = False  # embed with relaxed unsmoothed bounds
@@ -446,10 +451,17 @@ def _embed_bucket(
         if params.useExpTorsionAnglePrefs:
             if torsion_provider is None:
                 from nvmolkit_tpu.models.etkdg_torsions import (
+                    ExperimentalTorsionProvider,
                     default_torsion_provider,
                 )
 
-                tp = default_torsion_provider()
+                if params.useSmallRingTorsions or params.useMacrocycleTorsions:
+                    tp = ExperimentalTorsionProvider(
+                        use_small_rings=params.useSmallRingTorsions,
+                        use_macrocycles=params.useMacrocycleTorsions,
+                    )
+                else:
+                    tp = default_torsion_provider()
             else:
                 tp = torsion_provider
         else:

@@ -56,16 +56,21 @@ def build_etk_terms(mol: Mol, torsion_provider=None) -> ETKTermsHost:
         imp_idx.append((nbrs[0], j, nbrs[1], nbrs[2]))
         imp_k.append(10.0)
 
-    # planarity torsions around sp2-sp2 bonds (aromatic rings, double
-    # bonds): E = F2 (1 + cos(2 phi - pi)) = F2 (1 - cos 2 phi), minima
-    # at phi = 0/180. Degree-2 aromatic CH carbons have no improper
+    # planarity torsions around aromatic and double bonds:
+    # E = F2 (1 + cos(2 phi - pi)) = F2 (1 - cos 2 phi), minima at
+    # phi = 0/180. Degree-2 aromatic CH carbons have no improper
     # center (the H is implicit), so bond-centered torsions carry the
-    # "basic knowledge" planarity instead.
+    # "basic knowledge" planarity instead. SINGLE bonds between two
+    # sp2 systems (biaryls, dienes, amides) are NOT pinned here — the
+    # experimental-torsion library carries their real preferences
+    # (biphenyl twists ~42 deg; pinning it planar was a round-2 bug).
     t_rows: list[tuple[int, int, int, int]] = []
     t_c: list[np.ndarray] = []
     t_p: list[np.ndarray] = []
     for b in mol.bonds:
         j, k = b.begin, b.end
+        if not (b.is_aromatic or b.order >= 2):
+            continue
         if _hybridization(mol, j) != 2 or _hybridization(mol, k) != 2:
             continue
         if mol.degree(j) < 2 or mol.degree(k) < 2:

@@ -1,23 +1,35 @@
-"""Experimental-torsion preferences for ETKDG (embedded core library).
+"""Experimental-torsion preferences for ETKDG (embedded library).
 
 ETKDG's defining feature is a SMARTS-pattern-driven torsion-preference
-library (Riniker & Landrum 2015, building on the Schaerfer et al.
-torsion library; the reference consumes it via RDKit's CrystalFF,
-``src/forcefields/dist_geom.h:73-80``). Each rule is a 4-atom SMARTS
-whose middle two atoms define the central bond plus a Fourier series
-E = sum_k F_k (1 + cos(k*phi - phi0_k)).
+library (Riniker & Landrum 2015, building on the Schaerfer et al. 2013
+and Guba et al. 2016 torsion libraries; the reference consumes it via
+RDKit's CrystalFF, ``src/forcefields/dist_geom.h:73-80``). Each rule is
+a SMARTS whose ``quad`` atoms define the torsion i-j-k-l (j-k is the
+central bond) plus a Fourier series
 
-This module embeds a CORE rule set covering the most common torsion
-classes in drug-like molecules (amide/ester planarity, conjugation,
-heteroatom-linked rotors, glycol gauche, disulfides, generic sp3
-staggering), matched with the library's own SMARTS engine. Rules are
-ordered most-specific-first; the FIRST rule matching a central bond
-wins, mirroring the published library's hierarchy. A full published
-torsion-library file can be loaded over it with
+    E(phi) = sum_k F_k (1 + cos(k * phi - phi0_k)),  k = 1..6.
+
+This module embeds a WRITTEN-FOR-THIS-PROJECT library organized the way
+the published hierarchy is: most-specific-first within central-bond
+classes (amide/ester/aryl-carbonyl sp2 bonds, biaryls, conjugated
+singles, aryl-O/N/S rotors, heteroatom sp3 rotors, alpha-carbonyl and
+generic sp3-sp3 staggering), with the FIRST rule matching a central
+bond claiming it. Coefficients encode the class's known conformational
+preference (gauche effects, anomeric effect, biaryl twist, ester Z,
+amide planarity, ...); every rule declares its intended minima in
+``minima_deg`` and the test suite verifies the Fourier series actually
+has its minima there (tests/test_torsion_library.py).
+
+Three ring tiers mirror ETKDGv3's options:
+
+* acyclic rules (default; ring central bonds are bounds-driven),
+* ``SMALL_RING_TORSION_RULES`` for central bonds in 3-6 rings
+  (``EmbedParameters.useSmallRingTorsions``),
+* ``MACROCYCLE_TORSION_RULES`` for central bonds only in rings of 9+
+  (``EmbedParameters.useMacrocycleTorsions``).
+
+A full external torsion-library file can be loaded with
 :func:`load_torsion_rules` (same rule format).
-
-sp2-sp2 central bonds are skipped here: the basic-knowledge stage
-(:mod:`nvmolkit_tpu.models.etk`) already pins those planar.
 """
 from __future__ import annotations
 
@@ -34,42 +46,254 @@ class TorsionRule:
     smarts: str
     # (k, F_k, phi0_k degrees) triples
     terms: tuple[tuple[int, float, float], ...]
+    # intended minima of the Fourier series, degrees in (-180, 180];
+    # verified numerically by the test suite
+    minima_deg: tuple[float, ...] = ()
+    # indices of the matched pattern atoms forming the torsion quad
+    # (needed when the SMARTS carries branch atoms for context)
+    quad: tuple[int, int, int, int] = (0, 1, 2, 3)
+    # "acyclic" | "small" (3-6 ring central bond) | "macro" (9+ ring)
+    ring: str = "acyclic"
 
 
-# Core rules, most specific first. F in kcal/mol; phi0 in degrees.
-# Minima of F(1 + cos(k phi - phi0)): phi = (phi0 + 180)/k + n*360/k.
-CORE_TORSION_RULES: tuple[TorsionRule, ...] = (
-    # amide: planar, trans-preferring
-    TorsionRule("[O]=[CX3][NX3][*]", ((2, 6.0, 180.0),)),
-    # ester / carboxylic acid C(=O)-O: planar (Z preference)
-    TorsionRule("[O]=[CX3][OX2][*]", ((2, 4.5, 180.0),)),
-    # amidine / guanidine C-N
-    TorsionRule("[NX2]=[CX3][NX3][*]", ((2, 5.0, 180.0),)),
+def _r(smarts, terms, minima, quad=(0, 1, 2, 3), ring="acyclic"):
+    return TorsionRule(smarts, tuple(terms), tuple(minima), tuple(quad), ring)
+
+
+# ---------------------------------------------------------------------------
+# The acyclic library. Most-specific-first; first match per central
+# bond wins. F in kcal/mol; phi0 in degrees.
+# Single-term minima: phi = (phi0 + 180 + n*360)/k.
+# ---------------------------------------------------------------------------
+TORSION_LIBRARY_V2: tuple[TorsionRule, ...] = (
+    # === amides and congeners: C(sp2)-N central bonds, planar ========
+    _r("[O]=[CX3]([CX4])[NX3][CX4H3]", [(2, 6.0, 180.0)], (0.0, 180.0),
+       quad=(0, 1, 3, 4)),                       # N-methyl alkylamide
+    _r("[O]=[CX3][NX3][c]", [(2, 6.0, 180.0)], (0.0, 180.0)),  # anilide C-N
+    _r("[O]=[CX3][NX3][CX4]", [(2, 6.0, 180.0)], (0.0, 180.0)),
+    _r("[O]=[CX3][NX3][NX3]", [(2, 5.5, 180.0)], (0.0, 180.0)),  # hydrazide
+    _r("[O]=[CX3][NX3][*]", [(2, 6.0, 180.0)], (0.0, 180.0)),   # generic amide
+    _r("[S]=[CX3][NX3][*]", [(2, 8.0, 180.0)], (0.0, 180.0)),   # thioamide
+    _r("[NX2]=[CX3][NX3][*]", [(2, 5.0, 180.0)], (0.0, 180.0)),  # amidine
+    _r("[NX3][CX3](=[NX2])[NX3][*]", [(2, 5.0, 180.0)], (0.0, 180.0),
+       quad=(0, 1, 3, 4)),                       # guanidine C-N
+    # amide N-aryl bond (anilide twist, near-planar)
+    _r("[CX3](=[O])[NX3][c][c]", [(2, 1.8, 180.0)], (0.0, 180.0),
+       quad=(0, 2, 3, 4)),
+    # amide N-alkyl bond: N lone pair conjugation leaves a shallow anti
+    _r("[CX3](=[O])[NX3][CX4H2][!#1]", [(3, 0.5, 0.0)], (-60.0, 60.0, 180.0),
+       quad=(0, 2, 3, 4)),
+    # N-aryl sulfonamide (c-N bond): twisted
+    _r("[c][c][NX3][SX4]", [(2, 1.0, 0.0)], (-90.0, 90.0)),
     # sulfonamide S-N: staggered threefold
-    TorsionRule("[*][SX4][NX3][*]", ((3, 0.6, 0.0),)),
-    # disulfide: +/-90 minima
-    TorsionRule("[*][SX2][SX2][*]", ((2, 3.5, 0.0),)),
-    # glycol / diol O-C-C-O: gauche preference
-    TorsionRule("[OX2][CX4][CX4][OX2]", ((2, 0.5, 0.0), (3, 0.9, 0.0))),
-    # halogenated ethane F/Cl-C-C-F/Cl: gauche-ish
-    TorsionRule("[F,Cl][CX4][CX4][F,Cl]", ((3, 0.8, 0.0),)),
-    # anomeric-ish O-C-O linkage
-    TorsionRule("[OX2][CX4][OX2][*]", ((2, 0.8, 0.0), (3, 0.9, 0.0))),
-    # aromatic-O ether (anisole): planar
-    TorsionRule("[c][c][OX2][CX4]", ((2, 1.8, 180.0),)),
-    # aromatic-N (aniline-like rotor around c-N)
-    TorsionRule("[c][c][NX3][*]", ((2, 1.2, 180.0),)),
-    # benzylic c-C(sp3): low sixfold
-    TorsionRule("[c][c][CX4][*]", ((6, 0.15, 180.0),)),
-    # ether C-O rotor
-    TorsionRule("[*][CX4][OX2][*]", ((3, 0.7, 0.0),)),
-    # amine C-N rotor
-    TorsionRule("[*][CX4][NX3][*]", ((3, 0.7, 0.0),)),
-    # thioether C-S rotor
-    TorsionRule("[*][CX4][SX2][*]", ((3, 0.6, 0.0),)),
-    # generic sp3-sp3: staggered threefold
-    TorsionRule("[*][CX4][CX4][*]", ((3, 0.6, 0.0),)),
+    _r("[*][SX4][NX3][*]", [(3, 0.6, 0.0)], (-60.0, 60.0, 180.0)),
+    # === esters / carbonates / acids: C(sp2)-O, strong Z preference ==
+    _r("[O]=[CX3][OX2][CX4H3]", [(1, 3.0, 180.0), (2, 4.5, 180.0)],
+       (0.0, 180.0)),                            # methyl ester: Z global
+    _r("[O]=[CX3][OX2][c]", [(1, 2.5, 180.0), (2, 4.0, 180.0)], (0.0, 180.0)),
+    _r("[O]=[CX3][OX2][*]", [(1, 3.0, 180.0), (2, 4.5, 180.0)], (0.0, 180.0)),
+    _r("[S]=[CX3][OX2][*]", [(1, 2.5, 180.0), (2, 4.0, 180.0)], (0.0, 180.0)),
+    # ester alkoxy C-O bond (anti preference)
+    _r("[CX3](=[O])[OX2][CX4H2][!#1]", [(3, 0.8, 0.0), (1, 0.4, 0.0)],
+       (-63.0, 63.0, 180.0), quad=(0, 2, 3, 4)),
+    _r("[CX3](=[O])[OX2][CX4][*]", [(3, 0.8, 0.0)], (-60.0, 60.0, 180.0),
+       quad=(0, 2, 3, 4)),
+    # === aryl-carbonyl: planar conjugation ===========================
+    _r("[c][c][CX3]=[O]", [(2, 1.8, 180.0)], (0.0, 180.0)),  # ArC=O
+    _r("[c][c][CX3](=[O])[NX3]", [(2, 1.2, 180.0)], (0.0, 180.0),
+       quad=(0, 1, 2, 4)),                        # benzamide c-C(=O)N
+    _r("[c][c][CX3](=[O])[OX2]", [(2, 1.4, 180.0)], (0.0, 180.0),
+       quad=(0, 1, 2, 4)),                        # aryl acid/ester c-C
+    _r("[nX2][c][CX3]=[O]", [(2, 2.0, 180.0)], (0.0, 180.0)),
+    # aryl-nitrile: cylindrical, no preference needed (skip via no rule)
+    # aryl-nitro: strongly planar
+    _r("[c][c][NX3][OX1]", [(2, 3.0, 180.0)], (0.0, 180.0)),
+    # === biaryls (the library's signature class) =====================
+    _r("[nX2][c][c][nX2]", [(2, 1.5, 180.0), (1, 0.8, 0.0)], (0.0, 180.0)),
+    _r("[nX2][c][c][cH1]", [(2, 1.2, 180.0), (4, 0.6, 0.0)],
+       (-150.0, -30.0, 30.0, 150.0)),             # 2-aryl pyridine
+    _r("[nX2][c][c][cH0]", [(2, 0.6, 0.0), (4, 1.0, 0.0)],
+       (-130.0, -50.0, 50.0, 130.0)),
+    _r("[s][c][c][cH1]", [(2, 1.2, 180.0), (4, 0.5, 0.0)],
+       (-152.0, -28.0, 28.0, 152.0)),             # 2-aryl thiophene
+    _r("[o][c][c][cH1]", [(2, 1.2, 180.0), (4, 0.5, 0.0)],
+       (-152.0, -28.0, 28.0, 152.0)),             # 2-aryl furan
+    _r("[nX3][c][c][cH1]", [(2, 0.5, 0.0), (4, 0.8, 0.0)],
+       (-129.0, -51.0, 51.0, 129.0)),             # N-H/N-R azole-aryl
+    _r("[cH0][c][c][cH0]", [(2, 2.0, 0.0)], (-90.0, 90.0)),  # 2,2'-disub
+    _r("[cH0][c][c][cH1]", [(2, 0.4, 0.0), (4, 1.2, 0.0)],
+       (-133.0, -47.0, 47.0, 133.0)),             # ortho-mono biphenyl
+    _r("[cH1][c][c][cH1]", [(2, 0.6, 180.0), (4, 1.6, 0.0)],
+       (-138.0, -42.0, 42.0, 138.0)),             # biphenyl twist
+    _r("[a][c][c][a]", [(2, 0.5, 0.0), (4, 1.0, 0.0)],
+       (-130.0, -50.0, 50.0, 130.0)),             # biaryl fallback
+    # === conjugated sp2-sp2 single bonds =============================
+    _r("[CX3]=[CX3][CX3]=[CX3]", [(2, 2.5, 180.0), (1, 1.0, 0.0)],
+       (0.0, 180.0)),                             # 1,3-diene: s-trans
+    _r("[CX3]=[CX3][CX3]=[O]", [(2, 2.0, 180.0)], (0.0, 180.0)),  # enone
+    _r("[c][c][CX3]=[CX3]", [(2, 1.5, 180.0)], (0.0, 180.0)),     # styrene
+    _r("[CX3]=[CX3][c][c]", [(2, 1.5, 180.0)], (0.0, 180.0)),
+    _r("[O]=[CX3][CX3]=[O]", [(2, 2.0, 180.0), (1, 0.8, 0.0)],
+       (0.0, 180.0)),                             # 1,2-dione: s-trans
+    _r("[NX2]=[CX3][CX3]=[CX3,NX2]", [(2, 2.0, 180.0)], (0.0, 180.0)),
+    _r("[*]=[CX3,NX2][CX3,NX2]=[*]", [(2, 1.5, 180.0)], (0.0, 180.0)),
+    # enamine / enol ether C=C-N / C=C-O (vinyl heteroatom, planar)
+    _r("[CX3]=[CX3][OX2][CX4]", [(2, 1.5, 180.0), (1, 0.5, 180.0)],
+       (0.0, 180.0)),                             # vinyl ether: s-cis
+    _r("[CX3]=[CX3][NX3][*]", [(2, 1.5, 180.0)], (0.0, 180.0)),
+    _r("[CX3]=[CX3][SX2][*]", [(2, 1.0, 180.0)], (0.0, 180.0)),
+    # aryl conjugated to sp2 C generic (vinylogous fallback)
+    _r("[c][c][CX3][NX3]", [(2, 1.2, 180.0)], (0.0, 180.0)),
+    _r("[c][c][CX3][OX2]", [(2, 1.2, 180.0)], (0.0, 180.0)),
+    # imine N-C sp3 (C=N-C rotor)
+    _r("[CX3]=[NX2][CX4][!#1]", [(3, 0.5, 180.0)], (0.0, -120.0, 120.0)),
+    # oxime / oxime ether N-O
+    _r("[CX3]=[NX2][OX2][*]", [(2, 2.0, 180.0), (1, 0.8, 0.0)], (0.0, 180.0)),
+    # === aryl-O rotors ===============================================
+    _r("[cH0][c]([cH0])[OX2][CX4]", [(2, 1.0, 0.0)], (-90.0, 90.0),
+       quad=(0, 1, 3, 4)),                        # 2,6-disub anisole: perp
+    _r("[cH1][c][OX2][CX4H3]", [(2, 1.8, 180.0)], (0.0, 180.0)),  # anisole
+    _r("[c][c][OX2][CX4H2]", [(2, 1.5, 180.0)], (0.0, 180.0)),
+    _r("[c][c][OX2][CX4H1]", [(2, 0.8, 180.0)], (0.0, 180.0)),
+    _r("[c][c][OX2][CX4H0]", [(2, 0.6, 0.0)], (-90.0, 90.0)),  # O-tBu: perp
+    _r("[c][c][OX2][c]", [(2, 0.8, 0.0)], (-90.0, 90.0)),      # diaryl ether
+    _r("[c][c][OX2][SX4]", [(2, 1.0, 0.0)], (-90.0, 90.0)),    # aryl sulfonate
+    _r("[c][c][OX2][CX3]=[O]", [(2, 1.0, 0.0)], (-90.0, 90.0)),  # O-acyl aryl
+    _r("[c][c][OX2][PX4]", [(3, 0.5, 0.0)], (-60.0, 60.0, 180.0)),
+    # === aryl-N rotors ===============================================
+    _r("[c][c][NX3][c]", [(2, 0.5, 0.0), (4, 0.6, 0.0)],
+       (-129.0, -51.0, 51.0, 129.0)),             # diarylamine
+    _r("[c][c][NX3H1][CX3]=[O]", [(2, 1.8, 180.0)], (0.0, 180.0)),  # anilide
+    _r("[c][c][NX3][CX4]", [(2, 1.2, 180.0)], (0.0, 180.0)),   # N-alkyl aniline
+    _r("[c][c][NX3][NX3]", [(2, 1.0, 180.0)], (0.0, 180.0)),   # aryl hydrazine
+    # === aryl-S / aryl-P =============================================
+    _r("[c][c][SX2][CX4]", [(2, 0.8, 0.0)], (-90.0, 90.0)),    # thioanisole
+    _r("[c][c][SX2][c]", [(2, 0.8, 0.0)], (-90.0, 90.0)),
+    _r("[c][c][SX4][NX3]", [(2, 0.8, 0.0)], (-90.0, 90.0)),    # aryl sulfonamide
+    _r("[c][c][SX4][CX4]", [(2, 0.8, 0.0)], (-90.0, 90.0)),    # aryl sulfone
+    _r("[c][c][PX4][*]", [(2, 0.5, 0.0)], (-90.0, 90.0)),
+    # === benzylic c-C(sp3) ===========================================
+    _r("[c][c][CX4H2][OX2,NX3,SX2]", [(2, 0.6, 0.0)], (-90.0, 90.0)),
+    _r("[c][c][CX4H2][CX3]", [(2, 0.5, 0.0)], (-90.0, 90.0)),
+    _r("[c][c][CX4H2][CX4]", [(2, 0.5, 0.0)], (-90.0, 90.0)),  # ethylbenzene
+    _r("[c][c][CX4H2][c]", [(2, 0.7, 0.0)], (-90.0, 90.0)),    # diarylmethane
+    _r("[c][c][CX4H1]([CX4])[CX4]", [(2, 0.3, 180.0)], (0.0, 180.0),
+       quad=(0, 1, 2, 3)),                        # isopropylbenzene: CH in plane
+    _r("[c][c][CX4][F]", [(6, 0.2, 180.0)],
+       (0.0, -60.0, 60.0, -120.0, 120.0, 180.0)),  # ArCF3 free rotor
+    _r("[c][c][CX4][*]", [(6, 0.15, 180.0)],
+       (0.0, -60.0, 60.0, -120.0, 120.0, 180.0)),  # benzylic fallback
+    # === vinyl/allylic C(sp2)-C(sp3) =================================
+    _r("[O]=[CX3][CX4H2][NX3]", [(3, 0.5, 180.0)], (0.0, -120.0, 120.0)),
+    _r("[O]=[CX3][CX4H2][c]", [(3, 0.5, 180.0)], (0.0, -120.0, 120.0)),
+    _r("[O]=[CX3][CX4H2][CX4]", [(3, 0.5, 180.0)], (0.0, -120.0, 120.0)),
+    _r("[O]=[CX3][CX4][*]", [(3, 0.35, 180.0)], (0.0, -120.0, 120.0)),
+    _r("[NX2]=[CX3][CX4][!#1]", [(3, 0.35, 180.0)], (0.0, -120.0, 120.0)),
+    _r("[CX3]=[CX3][CX4H2][CX4]", [(3, 0.5, 180.0)], (0.0, -120.0, 120.0)),
+    _r("[CX3]=[CX3][CX4][*]", [(3, 0.4, 180.0)], (0.0, -120.0, 120.0)),
+    # === heteroatom-heteroatom single bonds ==========================
+    _r("[CX4][SX2][SX2][CX4]", [(2, 3.5, 0.0)], (-90.0, 90.0)),  # disulfide
+    _r("[*][SX2][SX2][*]", [(2, 3.5, 0.0)], (-90.0, 90.0)),
+    _r("[*][NX3][NX3][*]", [(2, 1.2, 0.0)], (-90.0, 90.0)),     # hydrazine
+    _r("[*][NX3][OX2][*]", [(2, 1.0, 0.0)], (-90.0, 90.0)),     # hydroxylamine
+    _r("[*][OX2][OX2][*]", [(2, 2.0, 0.0)], (-90.0, 90.0)),     # peroxide
+    _r("[O]=[SX4][NX3][CX4]", [(3, 0.6, 0.0)], (-60.0, 60.0, 180.0)),
+    # === sp3 C-O rotors ==============================================
+    _r("[OX2][CX4H2][OX2][CX4]", [(3, 1.0, 0.0), (2, 0.6, 0.0)],
+       (-66.0, 66.0, 180.0)),                     # anomeric O-C-O
+    _r("[CX4][OX2][CX4H2][OX2]", [(3, 1.0, 0.0), (2, 0.6, 0.0)],
+       (-66.0, 66.0, 180.0)),
+    _r("[*][CX4][OX2][CX4H3]", [(3, 0.75, 0.0)], (-60.0, 60.0, 180.0)),
+    _r("[*][CX4][OX2][CX4]", [(3, 0.7, 0.0)], (-60.0, 60.0, 180.0)),
+    _r("[*][CX4][OX2][PX4]", [(3, 0.4, 0.0)], (-60.0, 60.0, 180.0)),
+    _r("[*][CX4][OX2][*]", [(3, 0.7, 0.0)], (-60.0, 60.0, 180.0)),
+    # === sp3 C-N rotors ==============================================
+    _r("[*][CX4][NX4][*]", [(3, 0.8, 0.0)], (-60.0, 60.0, 180.0)),  # ammonium
+    _r("[*][CX4][NX3][CX3]=[O]", [(3, 0.5, 0.0)], (-60.0, 60.0, 180.0)),
+    _r("[*][CX4][NX3][*]", [(3, 0.7, 0.0)], (-60.0, 60.0, 180.0)),
+    # === sp3 C-S / C-P rotors ========================================
+    _r("[*][CX4][SX2][*]", [(3, 0.6, 0.0)], (-60.0, 60.0, 180.0)),
+    _r("[*][CX4][SX4][*]", [(3, 0.5, 0.0)], (-60.0, 60.0, 180.0)),
+    _r("[*][CX4][PX4,PX3][*]", [(3, 0.4, 0.0)], (-60.0, 60.0, 180.0)),
+    _r("[*][OX2][PX4][OX2]", [(3, 0.4, 0.0)], (-60.0, 60.0, 180.0)),
+    # === sp3-sp3 C-C: heteroatom gauche effects ======================
+    _r("[OX2H1][CX4H2][CX4H2][OX2H1]", [(3, 0.9, 0.0), (2, 0.35, 0.0)],
+       (-64.0, 64.0, 180.0)),                     # glycol: gauche
+    _r("[OX2][CX4][CX4][OX2]", [(3, 0.9, 0.0), (2, 0.25, 0.0)],
+       (-63.0, 63.0, 180.0)),
+    _r("[NX3][CX4H2][CX4H2][OX2]", [(3, 0.8, 0.0), (2, 0.25, 0.0)],
+       (-63.0, 63.0, 180.0)),                     # ethanolamine
+    _r("[NX3][CX4][CX4][NX3]", [(3, 0.8, 0.0)], (-60.0, 60.0, 180.0)),
+    _r("[F][CX4][CX4][F]", [(3, 0.8, 0.0), (2, 0.3, 0.0)],
+       (-64.0, 64.0, 180.0)),                     # 1,2-difluoro: gauche
+    _r("[Cl,Br][CX4][CX4][Cl,Br]", [(3, 0.9, 0.0), (1, 0.3, 0.0)],
+       (-62.0, 62.0, 180.0)),                     # 1,2-dihalo: anti
+    _r("[F,Cl,Br][CX4][CX4][OX2,NX3]", [(3, 0.8, 0.0)], (-60.0, 60.0, 180.0)),
+    _r("[F,Cl,Br][CX4][CX4][*]", [(3, 0.7, 0.0)], (-60.0, 60.0, 180.0)),
+    _r("[OX2][CX4][CX4][NX3]", [(3, 0.8, 0.0)], (-60.0, 60.0, 180.0)),
+    _r("[SX2][CX4][CX4][OX2,NX3,SX2]", [(3, 0.7, 0.0)], (-60.0, 60.0, 180.0)),
+    # === sp3-sp3 C-C: hydrocarbon =====================================
+    _r("[CX4H3][CX4H2][CX4H2][CX4H3]", [(3, 0.7, 0.0), (1, 0.5, 0.0)],
+       (-64.0, 64.0, 180.0)),                     # butane: anti global
+    _r("[CX4][CX4H2][CX4H2][CX4]", [(3, 0.7, 0.0), (1, 0.4, 0.0)],
+       (-63.0, 63.0, 180.0)),                     # chain: anti global
+    _r("[*][CX4H0][CX4H0][*]", [(3, 1.0, 0.0)], (-60.0, 60.0, 180.0)),
+    _r("[*][CX4][CX4H0][CX4H3]", [(3, 0.8, 0.0)], (-60.0, 60.0, 180.0)),
+    _r("[*][CX4][CX4][*]", [(3, 0.6, 0.0)], (-60.0, 60.0, 180.0)),  # generic
+    # === generic fallbacks (keep last) ===============================
+    _r("[*][CX4][NX2][*]", [(3, 0.4, 0.0)], (-60.0, 60.0, 180.0)),
+    _r("[!#1][CX3][CX3][!#1]", [(2, 1.2, 180.0)], (0.0, 180.0)),
+    _r("[!#1][CX3,c][NX3,NX2][!#1]", [(2, 1.0, 180.0)], (0.0, 180.0)),
+    _r("[!#1][CX3,c][OX2][!#1]", [(2, 0.8, 180.0)], (0.0, 180.0)),
 )
+
+# Central bonds inside 3-6 membered rings (ETKDGv3's
+# useSmallRingTorsions): staggered preferences that bias chairs and
+# envelope puckers; the ring-closure bounds do the rest.
+SMALL_RING_TORSION_RULES: tuple[TorsionRule, ...] = (
+    _r("[OX2R][CX4R][CX4R][OX2R]", [(3, 0.6, 0.0)], (-60.0, 60.0, 180.0),
+       ring="small"),                             # dioxane / sugar
+    _r("[OX2R][CX4R][CX4R][*]", [(3, 0.5, 0.0)], (-60.0, 60.0, 180.0),
+       ring="small"),
+    _r("[NX3R][CX4R][CX4R][*]", [(3, 0.5, 0.0)], (-60.0, 60.0, 180.0),
+       ring="small"),
+    _r("[*][CX4R][OX2R][CX4R]", [(3, 0.5, 0.0)], (-60.0, 60.0, 180.0),
+       ring="small"),
+    _r("[*][CX4R][NX3R][CX4R]", [(3, 0.5, 0.0)], (-60.0, 60.0, 180.0),
+       ring="small"),
+    _r("[*][CX4R][SX2R][CX4R]", [(3, 0.4, 0.0)], (-60.0, 60.0, 180.0),
+       ring="small"),
+    _r("[*][CX4R][CX4R][CX3R]", [(3, 0.4, 0.0)], (-60.0, 60.0, 180.0),
+       ring="small"),
+    _r("[CX4R][CX4R][CX4R][CX4R]", [(3, 0.5, 0.0)], (-60.0, 60.0, 180.0),
+       ring="small"),                             # cyclohexane chair
+    _r("[*][CX4R][CX4R][*]", [(3, 0.4, 0.0)], (-60.0, 60.0, 180.0),
+       ring="small"),
+    _r("[*][CX3R]=[CX3R][*]", [(2, 4.0, 180.0)], (0.0, 180.0),
+       ring="small"),                             # in-ring double bond
+)
+
+# Central bonds in macrocycles (9+; ETKDGv3's useMacrocycleTorsions):
+# bias toward anti to fight transannular collapse, keep macrolactam /
+# macrolactone linkages planar-trans.
+MACROCYCLE_TORSION_RULES: tuple[TorsionRule, ...] = (
+    _r("[O]=[CX3R][NX3R][*]", [(2, 5.0, 180.0), (1, 1.0, 0.0)], (0.0, 180.0),
+       ring="macro"),                             # macrolactam: trans
+    _r("[O]=[CX3R][OX2R][*]", [(1, 2.0, 180.0), (2, 4.0, 180.0)],
+       (0.0, 180.0), ring="macro"),               # macrolactone: Z
+    _r("[*][CX4R][OX2R][*]", [(3, 0.6, 0.0)], (-60.0, 60.0, 180.0),
+       ring="macro"),
+    _r("[*][CX4R][NX3R][*]", [(3, 0.6, 0.0)], (-60.0, 60.0, 180.0),
+       ring="macro"),
+    _r("[*][CX3R]=[CX3R][*]", [(2, 4.0, 180.0)], (0.0, 180.0), ring="macro"),
+    _r("[CX4R][CX4R][CX4R][CX4R]", [(3, 0.5, 0.0), (1, 0.4, 0.0)],
+       (-65.0, 65.0, 180.0), ring="macro"),       # anti-biased chain
+    _r("[*][CX4R][CX4R][*]", [(3, 0.5, 0.0), (1, 0.3, 0.0)],
+       (-63.0, 63.0, 180.0), ring="macro"),
+)
+
+# Back-compat alias (round-2 name for the embedded set)
+CORE_TORSION_RULES = TORSION_LIBRARY_V2
 
 
 def load_torsion_rules(path) -> tuple[TorsionRule, ...]:
@@ -92,37 +316,116 @@ def load_torsion_rules(path) -> tuple[TorsionRule, ...]:
     return tuple(rules)
 
 
+def rule_energy(rule: TorsionRule, phi_deg: np.ndarray) -> np.ndarray:
+    """Fourier energy of ``rule`` at ``phi_deg`` (degrees) — the test
+    oracle for the declared minima."""
+    phi = np.radians(np.asarray(phi_deg, np.float64))
+    e = np.zeros_like(phi)
+    for k, f, phi0 in rule.terms:
+        e += f * (1.0 + np.cos(k * phi - math.radians(phi0)))
+    return e
+
+
+def _required_element(expr) -> int | None:
+    """Atomic number an atom expression definitely requires, or None.
+
+    Conservative: only trusts plain conjunctions whose leaves pin
+    ``atomic_num`` — used to prefilter rules against a molecule's
+    element inventory before running the SMARTS matcher."""
+    from nvmolkit_tpu.chem.smarts import AND, LEAF
+
+    if expr.kind == LEAF:
+        if expr.prop == "atomic_num":
+            return int(expr.value)
+        return None
+    if expr.kind == AND:
+        for ch in expr.children:
+            got = _required_element(ch)
+            if got is not None:
+                return got
+    return None
+
+
 class ExperimentalTorsionProvider:
     """Default ETKDG torsion-preference provider: SMARTS-rule matching
     over the embedded (or loaded) library, first rule per central bond
     wins. Callable with a Mol; returns (idx [T,4], coeffs [T,6],
-    phase [T,6] radians) per the build_etk_terms contract."""
+    phase [T,6] radians) per the build_etk_terms contract.
 
-    def __init__(self, rules: tuple[TorsionRule, ...] = CORE_TORSION_RULES):
+    Ring handling mirrors ETKDGv3: acyclic rules skip ring central
+    bonds; the opt-in small-ring tier targets central bonds whose
+    smallest ring is 3-6; the opt-in macrocycle tier targets bonds
+    only in rings of ``macrocycle_min_size``+."""
+
+    def __init__(
+        self,
+        rules: tuple[TorsionRule, ...] = TORSION_LIBRARY_V2,
+        use_small_rings: bool = False,
+        use_macrocycles: bool = False,
+        macrocycle_min_size: int = 9,
+    ):
         from nvmolkit_tpu.chem.smarts import parse_smarts
 
-        self.rules = rules
-        self._queries = [parse_smarts(r.smarts) for r in rules]
+        self.rules = tuple(rules)
+        if use_small_rings:
+            self.rules = self.rules + SMALL_RING_TORSION_RULES
+        if use_macrocycles:
+            self.rules = self.rules + MACROCYCLE_TORSION_RULES
+        self.macrocycle_min_size = macrocycle_min_size
+        self._queries = [parse_smarts(r.smarts) for r in self.rules]
+        # element-inventory prefilter: skip rules whose pattern pins an
+        # element the molecule does not contain
+        self._needs: list[frozenset[int]] = []
+        for q in self._queries:
+            req = set()
+            for qa in q.atoms:
+                el = _required_element(qa.expr)
+                if el is not None and el > 1:
+                    req.add(el)
+            self._needs.append(frozenset(req))
+
+    def _ring_class(self, mol: Mol, j: int, k: int) -> str | None:
+        """'acyclic' | 'small' | 'macro' | None (bond missing)."""
+        from nvmolkit_tpu.chem.rings import _smallest_ring_through_bond
+
+        b = mol.bond_between(j, k)
+        if b is None:
+            return None
+        if not b.in_ring:
+            return "acyclic"
+        for bi in mol.atom_bonds(j):
+            bb = mol.bonds[bi]
+            if bb.other(j) == k:
+                size = _smallest_ring_through_bond(mol, bi)
+                if size and size <= 6:
+                    return "small"
+                if not size or size >= self.macrocycle_min_size:
+                    return "macro"
+                return "mid"
+        return None
 
     def __call__(self, mol: Mol):
-        from nvmolkit_tpu.models.uff.builder import _hybridization
         from nvmolkit_tpu.ops.substruct import featurize_target, find_matches
 
+        elements = {a.atomic_num for a in mol.atoms}
         tf = featurize_target(mol)
         claimed: set[tuple[int, int]] = set()
+        ring_cache: dict[tuple[int, int], str | None] = {}
         idx_rows, coeff_rows, phase_rows = [], [], []
-        for rule, query in zip(self.rules, self._queries):
+        for rule, query, needs in zip(self.rules, self._queries, self._needs):
+            if not needs <= elements:
+                continue
             matches, _ = find_matches(query, tf, max_matches=256, uniquify=False)
             for row in matches:
-                i, j, k, l = (int(x) for x in row[:4])
+                qi, qj, qk, ql = rule.quad
+                i, j, k, l = (int(row[x]) for x in (qi, qj, qk, ql))
                 bond = (min(j, k), max(j, k))
                 if bond in claimed:
                     continue
-                b = mol.bond_between(j, k)
-                if b is None or b.in_ring:
-                    continue  # ring torsions are bounds-driven
-                if _hybridization(mol, j) == 2 and _hybridization(mol, k) == 2:
-                    continue  # planarity handled by the basic-knowledge stage
+                if bond not in ring_cache:
+                    ring_cache[bond] = self._ring_class(mol, j, k)
+                if ring_cache[bond] != rule.ring:
+                    continue
                 claimed.add(bond)
                 coeffs = np.zeros(6, np.float32)
                 phase = np.zeros(6, np.float32)

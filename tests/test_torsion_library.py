@@ -1,0 +1,185 @@
+"""Experimental-torsion library tests (round 3).
+
+Reference role: RDKit's torsion-preference regression tests + the
+reference's ETKDG conformer-quality checks. Three layers:
+
+1. every embedded rule's Fourier series has its minima exactly at the
+   declared angles (numeric scan oracle, rule-by-rule);
+2. hierarchy semantics: most-specific-first claims, ring-tier gating,
+   quad re-indexing for branched patterns;
+3. embedding quality: torsion-angle samples from embedded conformers
+   concentrate near the claiming rule's minima.
+"""
+import math
+
+import numpy as np
+import pytest
+
+from nvmolkit_tpu.chem import mol_from_smiles
+from nvmolkit_tpu.models.etkdg_torsions import (
+    MACROCYCLE_TORSION_RULES,
+    SMALL_RING_TORSION_RULES,
+    TORSION_LIBRARY_V2,
+    ExperimentalTorsionProvider,
+    rule_energy,
+)
+
+ALL_RULES = TORSION_LIBRARY_V2 + SMALL_RING_TORSION_RULES + MACROCYCLE_TORSION_RULES
+
+
+def _actual_minima(rule):
+    phi = np.linspace(-180.0, 180.0, 72000, endpoint=False)
+    e = rule_energy(rule, phi)
+    ep, en = np.roll(e, 1), np.roll(e, -1)
+    return sorted(float(x) for x in phi[(e < ep) & (e < en)])
+
+
+def test_library_size_exceeds_100_rules():
+    assert len(ALL_RULES) >= 100
+    assert len(TORSION_LIBRARY_V2) >= 90
+
+
+@pytest.mark.parametrize(
+    "rule", ALL_RULES, ids=[f"{i}:{r.smarts}" for i, r in enumerate(ALL_RULES)]
+)
+def test_rule_minima_match_declared(rule):
+    """The Fourier series really has minima at the declared angles."""
+    assert rule.minima_deg, rule.smarts
+    actual = _actual_minima(rule)
+    declared = sorted(((m + 180.0) % 360.0) - 180.0 for m in rule.minima_deg)
+    assert len(actual) == len(declared), (rule.smarts, declared, actual)
+    for d, a in zip(declared, actual):
+        delta = min(abs(d - a), 360.0 - abs(d - a))
+        assert delta <= 4.0, (rule.smarts, declared, actual)
+
+
+def test_every_rule_parses_and_quad_in_range():
+    from nvmolkit_tpu.chem.smarts import parse_smarts
+
+    for r in ALL_RULES:
+        q = parse_smarts(r.smarts)
+        assert max(r.quad) < len(q.atoms), r.smarts
+        assert len(set(r.quad)) == 4, r.smarts
+
+
+class TestHierarchy:
+    def test_amide_beats_generic(self):
+        prov = ExperimentalTorsionProvider()
+        idx, coeffs, phase = prov(mol_from_smiles("CC(=O)NC"))
+        assert len(idx) == 1
+        assert coeffs[0, 1] > 4.0 and abs(phase[0, 1] - math.pi) < 1e-3
+
+    def test_thioamide_stronger_than_amide(self):
+        prov = ExperimentalTorsionProvider()
+        _, ca, _ = prov(mol_from_smiles("CC(=O)NC"))
+        _, ct, _ = prov(mol_from_smiles("CC(=S)NC"))
+        assert ct[0, 1] > ca[0, 1]
+
+    def test_biphenyl_gets_twist_not_planarity(self):
+        prov = ExperimentalTorsionProvider()
+        idx, coeffs, phase = prov(mol_from_smiles("c1ccccc1-c1ccccc1"))
+        assert len(idx) == 1          # the inter-ring bond only
+        assert coeffs[0, 3] > 1.0     # fourfold term dominates
+        # minima away from 0/180: energy at 42 deg below energy at 0
+        rule = next(r for r in TORSION_LIBRARY_V2 if r.smarts == "[cH1][c][c][cH1]")
+        assert rule_energy(rule, 42.0) < rule_energy(rule, 0.0) - 0.5
+        assert rule_energy(rule, 42.0) < rule_energy(rule, 90.0) - 0.5
+
+    def test_ester_z_preference(self):
+        prov = ExperimentalTorsionProvider()
+        idx, coeffs, _ = prov(mol_from_smiles("COC(C)=O"))
+        # methyl acetate: ester C-O bond (k1+k2) and alkoxy O-CH3 has
+        # no heavy 4th atom, so exactly one torsion
+        assert len(idx) == 1
+        assert coeffs[0, 0] > 2.0 and coeffs[0, 1] > 3.0
+
+    def test_ring_bonds_skipped_by_default(self):
+        prov = ExperimentalTorsionProvider()
+        idx, *_ = prov(mol_from_smiles("C1CCCCC1"))
+        assert len(idx) == 0
+
+    def test_small_ring_tier_opt_in(self):
+        prov = ExperimentalTorsionProvider(use_small_rings=True)
+        idx, coeffs, _ = prov(mol_from_smiles("C1CCCCC1"))
+        assert len(idx) == 6          # every ring bond claimed
+        assert np.all(coeffs[:, 2] > 0)   # threefold stagger
+
+    def test_macrocycle_tier_opt_in(self):
+        prov = ExperimentalTorsionProvider(use_macrocycles=True)
+        idx, *_ = prov(mol_from_smiles("C1CCCCCCCCCCC1"))
+        assert len(idx) == 12
+        # small rings are NOT macro: cyclohexane stays empty
+        idx2, *_ = prov(mol_from_smiles("C1CCCCC1"))
+        assert len(idx2) == 0
+
+    def test_branched_quad_reindexing(self):
+        """Branch-context patterns must emit the torsion quad, not the
+        pattern's first four atoms."""
+        prov = ExperimentalTorsionProvider()
+        m = mol_from_smiles("CCOC(C)=O")  # ethyl acetate
+        idx, coeffs, _ = prov(m)
+        bonds = {
+            (min(int(j), int(k)), max(int(j), int(k))) for _, j, k, _ in idx
+        }
+        # every claimed central bond must be a real bond of the molecule
+        for j, k in bonds:
+            assert m.bond_between(j, k) is not None
+
+    def test_first_match_wins_specific_before_generic(self):
+        prov = ExperimentalTorsionProvider()
+        # 1,2-difluoroethane with heavy 4th atoms: FCC(F) pattern needs
+        # F termini — FC(F) specific beats the generic [*][CX4][CX4][*]
+        idx, coeffs, _ = prov(mol_from_smiles("FCCF"))
+        assert len(idx) == 1
+        assert coeffs[0, 2] == pytest.approx(0.8, abs=1e-6)
+        assert coeffs[0, 1] == pytest.approx(0.3, abs=1e-6)
+
+
+class TestEmbedQuality:
+    @pytest.mark.parametrize(
+        "smiles,window",
+        [
+            ("CC(=O)NCCC", 30.0),        # amide stays planar
+            ("c1ccccc1-c1ccccc1", 30.0),  # biphenyl twists to a minimum
+        ],
+    )
+    def test_embedded_torsions_near_library_minima(self, smiles, window):
+        from nvmolkit_tpu.embedMolecules import EmbedMolecules
+
+        prov = ExperimentalTorsionProvider()
+        m = mol_from_smiles(smiles)
+        idx, coeffs, phase = prov(m)
+        assert len(idx) >= 1
+        EmbedMolecules([m], confsPerMolecule=6, maxIterations=20)
+        assert len(m.conformers) >= 2
+
+        # declared minima of the claiming rule for the first torsion
+        target_rule = None
+        i, j, k, l = (int(x) for x in idx[0])
+        for r in TORSION_LIBRARY_V2:
+            c = np.zeros(6)
+            for kk, f, p0 in r.terms:
+                c[kk - 1] = f
+            if np.allclose(c, coeffs[0], atol=1e-6):
+                target_rule = r
+                break
+        assert target_rule is not None
+
+        def dihedral(p):
+            b1, b2, b3 = p[1] - p[0], p[2] - p[1], p[3] - p[2]
+            n1, n2 = np.cross(b1, b2), np.cross(b2, b3)
+            m1 = np.cross(n1, b2 / np.linalg.norm(b2))
+            return math.degrees(math.atan2(np.dot(m1, n2), np.dot(n1, n2)))
+
+        hits = 0
+        total = 0
+        for conf in m.conformers:
+            phi = dihedral(np.asarray(conf[[i, j, k, l]], float))
+            total += 1
+            near = min(
+                min(abs(phi - t), 360 - abs(phi - t))
+                for t in target_rule.minima_deg
+            )
+            if near <= window:
+                hits += 1
+        assert hits / total >= 0.5, (smiles, hits, total)
