@@ -1,56 +1,70 @@
-"""Example: conformer generation -> minimization -> diversity analysis.
+"""Device-resident conformer pipeline: embed -> MMFF -> TFD/RMSD -> butina.
 
-SMILES -> ETKDG embedding -> UFF minimization -> pairwise RMSD + TFD ->
-Butina clustering of conformers. The end-to-end device-resident chain
-the reference builds with Device3DResult handoffs.
+Coordinates never round-trip through host conformer lists between
+stages — every stage reads the previous stage's Dense3DResult in device
+memory via ``positionsFrom`` (the reference's device-input chain,
+``src/conformer/ff_device_collect.h:64-97``). Only the final condensed
+matrices and cluster labels come back to the host.
 
-Run: python examples/conformer_pipeline.py
+Run: python examples/conformer_pipeline.py [n_mols]
 """
 import sys
-from pathlib import Path
-
-sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+import time
 
 import numpy as np
 
-from nvmolkit_tpu.chem.native import mols_from_smiles
+from nvmolkit_tpu.chem import mol_from_smiles
 from nvmolkit_tpu.clustering import butina
-from nvmolkit_tpu.conformerRmsd import GetConformerRMSMatrix
-from nvmolkit_tpu.embedMolecules import EmbedMolecules, EmbedParameters
-from nvmolkit_tpu.tfd import GetTFDMatrix
-from nvmolkit_tpu.uffOptimization import UFFOptimizeMoleculesConfs
+from nvmolkit_tpu.conformerRmsd import GetConformerRMSMatrixBatch
+from nvmolkit_tpu.embedMolecules import EmbedMolecules
+from nvmolkit_tpu.mmffOptimization import MMFFOptimizeMoleculesConfs
+from nvmolkit_tpu.tfd import GetTFDMatrices
+from nvmolkit_tpu.types import CoordinateOutput
+
+SMILES = [
+    "CCCCOC(=O)c1ccccc1",
+    "CCCNC(=O)CC",
+    "CC(C)CC(=O)NCc1ccccc1",
+    "CCOC(=O)CCN(C)C",
+    "c1ccc(-c2ccccc2)cc1",
+    "COc1ccc(CC(=O)NC)cc1",
+]
 
 
-def main():
-    mols = mols_from_smiles(["CC(C)Cc1ccc(cc1)C(C)C(=O)O"])  # ibuprofen
-    mol = mols[0]
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else len(SMILES)
+    mols = [mol_from_smiles(SMILES[i % len(SMILES)]) for i in range(n)]
 
-    EmbedMolecules(mols, confsPerMolecule=12, maxIterations=15,
-                   params=EmbedParameters(pruneRmsThresh=0.15))
-    print(f"embedded {len(mol.conformers)} conformers")
+    t0 = time.perf_counter()
+    embedded = EmbedMolecules(mols, confsPerMolecule=8, maxIterations=10)
+    print(f"embed: {time.perf_counter() - t0:.2f}s "
+          f"({int(np.asarray(embedded.conf_mask).sum())} conformers)")
 
-    results, dense = UFFOptimizeMoleculesConfs(mols, maxIters=300)
-    energies = [e for _, e in results[0]]
-    print(f"UFF energies: {[round(e, 2) for e in energies]}")
-    # write minimized coordinates back for the analysis steps
-    for ci, conf in enumerate(dense.per_molecule()[0]):
-        mol.conformers[ci] = conf.astype(np.float64)
+    t0 = time.perf_counter()
+    minimized = MMFFOptimizeMoleculesConfs(
+        mols, maxIters=100,
+        positionsFrom=embedded,            # device-resident chain
+        output=CoordinateOutput.DEVICE,    # stay on device
+    )
+    conv = float(np.asarray(minimized.converged).mean())
+    print(f"mmff:  {time.perf_counter() - t0:.2f}s (converged {conv:.0%})")
 
-    if len(mol.conformers) >= 2:
-        rms = GetConformerRMSMatrix(mol).numpy()
-        tfd = GetTFDMatrix(mol).numpy()
-        print(f"RMSD range: {rms.min():.2f} - {rms.max():.2f} A")
-        print(f"TFD  range: {tfd.min():.3f} - {tfd.max():.3f}")
+    t0 = time.perf_counter()
+    rms = GetConformerRMSMatrixBatch(mols, positionsFrom=minimized)
+    tfd = GetTFDMatrices(mols, positionsFrom=minimized)
+    print(f"rmsd+tfd: {time.perf_counter() - t0:.2f}s")
 
-        n = len(mol.conformers)
-        dist = np.zeros((n, n))
-        p = 0
-        for i in range(1, n):
-            for j in range(i):
-                dist[i, j] = dist[j, i] = rms[p]
-                p += 1
-        ids = butina(dist, cutoff=1.0).numpy()
-        print(f"conformer clusters at 1.0 A: {int(ids.max()) + 1}")
+    for m, r, t in zip(mols[:3], rms, tfd):
+        c = len(m.conformers)
+        sq = np.zeros((c, c), np.float32)
+        tri = np.tril_indices(c, k=-1)
+        v = r.numpy()
+        sq[tri] = v
+        sq[tri[1], tri[0]] = v
+        labels = np.asarray(butina(sq, 1.0).numpy())
+        print(f"  {c} confs -> {labels.max() + 1} clusters; "
+              f"median RMSD {np.median(v):.2f} A, "
+              f"median TFD {np.median(t.numpy()):.3f}")
 
 
 if __name__ == "__main__":

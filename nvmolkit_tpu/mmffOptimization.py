@@ -22,6 +22,7 @@ def MMFFOptimizeMoleculesConfs(
     provider=None,
     backend: str = "flat",
     output=None,
+    positionsFrom=None,
 ):
     """Minimize all conformers of all molecules under MMFF94.
 
@@ -30,6 +31,12 @@ def MMFFOptimizeMoleculesConfs(
     writes minimized coordinates back into each molecule's conformer
     list and returns ``(results, dense)``; DEVICE skips the writeback
     and returns only the device-resident :class:`Dense3DResult`.
+
+    ``positionsFrom`` accepts a device-resident :class:`Dense3DResult`
+    (e.g. from ``EmbedMolecules``) as the coordinate source — the
+    embed -> optimize chain then never round-trips positions through
+    host conformer lists (reference contract:
+    ``src/conformer/ff_device_collect.h:64-97``).
 
     ``results[mol][conf] = (not_converged, energy)`` (0 = converged). Parametrization comes
     from ``provider`` (default: RDKit when importable, else the
@@ -74,6 +81,19 @@ def MMFFOptimizeMoleculesConfs(
     for _key, mol_ids in groups.items():
         props = per_mol[mol_ids[0]]
         group_mols = [molecules[i] for i in mol_ids]
+        group_pf = None
+        if positionsFrom is not None:
+            from nvmolkit_tpu.types import Dense3DResult as _D3
+
+            if len(groups) == 1:
+                group_pf = positionsFrom
+            else:
+                rows = jnp.asarray(mol_ids)
+                group_pf = _D3(
+                    positions=positionsFrom.positions[rows],
+                    conf_mask=positionsFrom.conf_mask[rows],
+                    atom_mask=positionsFrom.atom_mask[rows],
+                )
 
         def make_batch(mols, max_atoms, _props=props):
             return make_batched_mmff(mols, max_atoms, _props, provider=provider)
@@ -85,11 +105,12 @@ def MMFFOptimizeMoleculesConfs(
             max_iters=maxIters,
             hardware_options=hardwareOptions,
             backend=backend,
+            positions_from=group_pf,
         )
         for g, mi in enumerate(mol_ids):
             results[mi] = [
                 (statuses[g][c], energies[g][c])
-                for c in range(len(molecules[mi].conformers))
+                for c in range(len(energies[g]))
             ]
         dense_parts.append((mol_ids, dense))
 

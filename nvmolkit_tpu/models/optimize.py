@@ -56,6 +56,7 @@ def optimize_molecules_confs(
     grad_tol: float = 1e-4,
     hardware_options: HardwareOptions | None = None,
     backend: str = "flat",
+    positions_from=None,            # Dense3DResult: device-resident input
 ):
     """Minimize every conformer of every molecule.
 
@@ -63,31 +64,58 @@ def optimize_molecules_confs(
     nested list [mol][conf] of final energies, ``not_converged`` mirrors
     RDKit's status convention (0 = converged), and ``dense`` is a
     :class:`Dense3DResult` of minimized coordinates.
+
+    ``positions_from`` chains a device-resident :class:`Dense3DResult`
+    (e.g. straight out of ``EmbedMolecules``) as the starting
+    coordinates: the per-chunk ``pos0`` stacks are device gathers from
+    its ``positions`` array, so coordinates never round-trip through
+    host conformer lists (the reference's device-input overload,
+    ``src/conformer/ff_device_collect.h:64-97`` /
+    ``bfgs_mmff.h:69-103``). Systems are the True slots of its
+    ``conf_mask``; the returned dense result keeps the same slot
+    layout.
     """
     opts = hardware_options or HardwareOptions()
-    for i, m in enumerate(mols):
-        if not m.conformers:
-            raise ValueError(f"molecule {i} has no conformers")
+    pf = positions_from
+    if pf is None:
+        for i, m in enumerate(mols):
+            if not m.conformers:
+                raise ValueError(f"molecule {i} has no conformers")
+        conf_slots = [list(range(len(m.conformers))) for m in mols]
+    else:
+        if int(pf.positions.shape[0]) != len(mols):
+            raise ValueError(
+                f"positions_from covers {int(pf.positions.shape[0])} "
+                f"molecules, got {len(mols)}"
+            )
+        pf_cmask = np.asarray(pf.conf_mask)
+        conf_slots = [np.nonzero(pf_cmask[mi])[0].tolist() for mi in range(len(mols))]
 
     # group systems by bucket
     bucket_systems: dict[int, list[SystemRef]] = {}
     for mi, m in enumerate(mols):
         b = _bucket_for(m.num_atoms, opts.atomBuckets)
-        for ci in range(len(m.conformers)):
+        for ci in conf_slots[mi]:
             bucket_systems.setdefault(b, []).append(SystemRef(mi, ci))
 
-    max_confs = max(len(m.conformers) for m in mols)
+    max_confs = (
+        int(pf.positions.shape[1]) if pf is not None
+        else max(len(m.conformers) for m in mols)
+    )
     max_atoms_all = max(_bucket_for(m.num_atoms, opts.atomBuckets) for m in mols)
     n_mols = len(mols)
 
-    energies = [[0.0] * len(m.conformers) for m in mols]
-    statuses = [[1] * len(m.conformers) for m in mols]
+    energies = [[0.0] * len(conf_slots[mi]) for mi in range(len(mols))]
+    statuses = [[1] * len(conf_slots[mi]) for mi in range(len(mols))]
+    slot_to_k = [
+        {ci: k for k, ci in enumerate(conf_slots[mi])} for mi in range(len(mols))
+    ]
     out_pos = np.zeros((n_mols, max_confs, max_atoms_all, 3), dtype=np.float32)
     conf_mask = np.zeros((n_mols, max_confs), dtype=bool)
     atom_mask_out = np.zeros((n_mols, max_atoms_all), dtype=bool)
     for mi, m in enumerate(mols):
         atom_mask_out[mi, : m.num_atoms] = True
-        conf_mask[mi, : len(m.conformers)] = True
+        conf_mask[mi, conf_slots[mi]] = True
     converged_out = np.zeros((n_mols, max_confs), dtype=bool)
     energies_out = np.zeros((n_mols, max_confs), dtype=np.float32)
 
@@ -133,22 +161,45 @@ def optimize_molecules_confs(
         ubatch = make_batch_fn([mols[i] for i in unique_mol_ids], bucket)
         batch = expand_batch_to_systems(ubatch, sys2mol, S + n_pad)
 
-        pos0 = np.zeros((S + n_pad, bucket, 3), dtype=np.float32)
-        # fill grouped by molecule: one stack + one fancy-index per
-        # unique molecule instead of a python slice-copy per system
-        k = 0
-        while k < S:
-            mi = systems[k].mol_idx
-            j = k
-            while j < S and systems[j].mol_idx == mi:
-                j += 1
-            m = mols[mi]
-            confs = np.stack(m.conformers)  # [C, n, 3]
-            cids = [systems[t].conf_idx for t in range(k, j)]
-            pos0[k:j, : m.num_atoms] = confs[cids]
-            k = j
-        if n_pad:
-            pos0[S:] = pos0[0]
+        if pf is not None:
+            # device-resident chaining: pos0 is a row gather from the
+            # input Dense3DResult — no host conformer round-trip
+            g_mi = np.asarray(
+                [s.mol_idx for s in systems] + [systems[0].mol_idx] * n_pad,
+                np.int32,
+            )
+            g_ci = np.asarray(
+                [s.conf_idx for s in systems] + [systems[0].conf_idx] * n_pad,
+                np.int32,
+            )
+            rows = jnp.asarray(pf.positions)[
+                jnp.asarray(g_mi), jnp.asarray(g_ci)
+            ].astype(jnp.float32)                     # [S+pad, Amax, 3]
+            amax = rows.shape[1]
+            if amax >= bucket:
+                pos0 = rows[:, :bucket, :]
+            else:
+                pos0 = (
+                    jnp.zeros((S + n_pad, bucket, 3), jnp.float32)
+                    .at[:, :amax].set(rows)
+                )
+        else:
+            pos0 = np.zeros((S + n_pad, bucket, 3), dtype=np.float32)
+            # fill grouped by molecule: one stack + one fancy-index per
+            # unique molecule instead of a python slice-copy per system
+            k = 0
+            while k < S:
+                mi = systems[k].mol_idx
+                j = k
+                while j < S and systems[j].mol_idx == mi:
+                    j += 1
+                m = mols[mi]
+                confs = np.stack(m.conformers)  # [C, n, 3]
+                cids = [systems[t].conf_idx for t in range(k, j)]
+                pos0[k:j, : m.num_atoms] = confs[cids]
+                k = j
+            if n_pad:
+                pos0[S:] = pos0[0]
 
         if multi:
             def finish(batch=batch, pos0=pos0):
@@ -186,8 +237,9 @@ def optimize_molecules_confs(
         e_list = e[:k].tolist()
         st_list = np.where(conv[:k], 0, 1).tolist()
         for j, s in enumerate(systems):
-            energies[s.mol_idx][s.conf_idx] = e_list[j]
-            statuses[s.mol_idx][s.conf_idx] = st_list[j]
+            kk = slot_to_k[s.mol_idx][s.conf_idx]
+            energies[s.mol_idx][kk] = e_list[j]
+            statuses[s.mol_idx][kk] = st_list[j]
 
     dense = Dense3DResult(
         positions=jnp.asarray(out_pos),
@@ -216,7 +268,9 @@ def finalize_output(molecules, results, dense, output):
     cmask = np.asarray(dense.conf_mask)
     for mi, m in enumerate(molecules):
         na = m.num_atoms
-        for ci in range(len(m.conformers)):
-            if cmask[mi, ci]:
-                m.conformers[ci] = pos[mi, ci, :na].copy()
+        # k-th True slot maps to m.conformers[k] (slots may have gaps
+        # when chaining from an embed whose retries left holes)
+        slots = np.nonzero(cmask[mi])[0]
+        for k, ci in enumerate(slots[: len(m.conformers)]):
+            m.conformers[k] = pos[mi, ci, :na].copy()
     return results, dense

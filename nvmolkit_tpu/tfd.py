@@ -47,6 +47,7 @@ def GetTFDMatrices(
     symmRadius: int = 2,
     ignoreColinearBonds: bool = True,
     hardwareOptions=None,
+    positionsFrom=None,
 ) -> list[AsyncResult]:
     """Batched condensed TFD matrices, one per molecule.
 
@@ -54,15 +55,26 @@ def GetTFDMatrices(
     counts and processed in ONE device launch (the reference's work-item
     CSR batching, ``tfd_common.h:82-107``); per-molecule results are
     host slices of a single transfer.
-    """
+
+    ``positionsFrom`` chains a device-resident Dense3DResult (embed or
+    optimize output) as the coordinate source: the dihedral kernel
+    reads its ``positions`` array in place — conformer coordinates
+    never leave device memory."""
     if maxDev not in ("equal", "spec"):
         raise ValueError("maxDev must be 'equal' or 'spec'")
     if not mols:
         return []
 
+    pf = positionsFrom
+    conf_slots: list[np.ndarray] | None = None
+    if pf is not None:
+        pf_cmask = np.asarray(pf.conf_mask)
+        conf_slots = [np.nonzero(pf_cmask[k])[0] for k in range(len(mols))]
+
     torsion_sets, n_confs = [], []
-    for m in mols:
-        if len(m.conformers) < 2:
+    for k, m in enumerate(mols):
+        nc = len(conf_slots[k]) if conf_slots is not None else len(m.conformers)
+        if nc < 2:
             raise ValueError("every molecule needs at least 2 conformers")
         torsion_sets.append(
             enumerate_torsions(
@@ -73,7 +85,7 @@ def GetTFDMatrices(
                 ignore_colinear_bonds=ignoreColinearBonds,
             )
         )
-        n_confs.append(len(m.conformers))
+        n_confs.append(nc)
 
     M = len(mols)
     devices = None
@@ -84,7 +96,7 @@ def GetTFDMatrices(
         if len(devices) > 1 and M % len(devices):
             M += len(devices) - M % len(devices)  # pad molecule rows
     max_atoms = max(m.num_atoms for m in mols)
-    c_max = max(n_confs)
+    c_max = int(pf.positions.shape[1]) if pf is not None else max(n_confs)
     t_max = max(1, max(ts.n_torsions for ts in torsion_sets))
     q_max = max(
         1,
@@ -94,19 +106,29 @@ def GetTFDMatrices(
         ),
     )
     # round padded dims to bound recompiles across call shapes
-    c_max = ((c_max + 3) // 4) * 4
+    if pf is None:
+        c_max = ((c_max + 3) // 4) * 4
     t_max = ((t_max + 7) // 8) * 8
 
-    confs = np.zeros((M, c_max, max_atoms, 3), np.float32)
     quartets = np.zeros((M, t_max, q_max, 4), np.int32)
     quartet_mask = np.zeros((M, t_max, q_max), bool)
     types = np.zeros((M, t_max), np.int32)
     weights = np.zeros((M, t_max), np.float32)  # 0 weight = padded torsion
     max_dev = np.full((M, t_max), 180.0, np.float32)
     torsion_mask = np.zeros((M, t_max), bool)
+    if pf is not None:
+        confs = jnp.asarray(pf.positions, jnp.float32)
+        if confs.shape[0] < M:  # multi-device molecule-row padding
+            confs = jnp.concatenate(
+                [confs, jnp.zeros((M - confs.shape[0],) + confs.shape[1:],
+                                  jnp.float32)]
+            )
+    else:
+        confs = np.zeros((M, c_max, max_atoms, 3), np.float32)
     for k, (m, ts) in enumerate(zip(mols, torsion_sets)):
-        for c, coords in enumerate(m.conformers):
-            confs[k, c, : m.num_atoms] = coords
+        if pf is None:
+            for c, coords in enumerate(m.conformers):
+                confs[k, c, : m.num_atoms] = coords
         for t in range(ts.n_torsions):
             s, e = ts.quartet_starts[t], ts.quartet_starts[t + 1]
             nq = e - s
@@ -151,9 +173,16 @@ def GetTFDMatrices(
         if ts.n_torsions == 0:
             out.append(AsyncResult(np.zeros(len(pairs), np.float32)))
             continue
-        vals = np.asarray(
-            [tfd_np[k, pair_of[(int(i), int(j))]] for i, j in pairs],
-            np.float32,
-        )
+        if conf_slots is not None:
+            sl = conf_slots[k]
+            vals = np.asarray(
+                [tfd_np[k, pair_of[(int(sl[i]), int(sl[j]))]] for i, j in pairs],
+                np.float32,
+            )
+        else:
+            vals = np.asarray(
+                [tfd_np[k, pair_of[(int(i), int(j))]] for i, j in pairs],
+                np.float32,
+            )
         out.append(AsyncResult(vals))
     return out

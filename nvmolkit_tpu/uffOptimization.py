@@ -22,13 +22,16 @@ def UFFOptimizeMoleculesConfs(
     hardwareOptions: HardwareOptions | None = None,
     backend: str = "flat",
     output=None,
+    positionsFrom=None,
 ):
     """Minimize all conformers of all molecules under UFF.
 
     Returns ``(results, dense)``: ``results[mol][conf] = (not_converged,
     energy)`` matching RDKit's ``UFFOptimizeMoleculeConfs`` convention
     (0 = converged), ``dense`` a :class:`Dense3DResult` with minimized
-    coordinates, energies and convergence flags.
+    coordinates, energies and convergence flags. ``positionsFrom``
+    chains a device-resident Dense3DResult as the coordinate source
+    (see ``MMFFOptimizeMoleculesConfs``).
     """
     del nonBondedThreshold  # UFF uses vdwThreshold (reference mirror)
 
@@ -48,9 +51,10 @@ def UFFOptimizeMoleculesConfs(
         max_iters=maxIters,
         hardware_options=hardwareOptions,
         backend=backend,
+        positions_from=positionsFrom,
     )
     results = [
-        [(statuses[m][c], energies[m][c]) for c in range(len(molecules[m].conformers))]
+        [(statuses[m][c], energies[m][c]) for c in range(len(energies[m]))]
         for m in range(len(molecules))
     ]
     from nvmolkit_tpu.models.optimize import finalize_output
