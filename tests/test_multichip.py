@@ -178,3 +178,68 @@ class TestMultihost:
         g = multihost.global_array(x, 64, mesh)
         assert g.shape == (64, 3)
         np.testing.assert_array_equal(multihost.all_gather_rows(g), x)
+
+
+class TestMultiDeviceSubstructure:
+    """Device substructure engine fanned over deviceIds (round 3):
+    join waves round-robin across the mesh; results must equal the
+    single-device engine and the native engine exactly."""
+
+    def test_multi_device_equals_single(self):
+        from nvmolkit_tpu.chem.native import mols_from_smiles
+        from nvmolkit_tpu.substructure import (
+            SubstructLibrary,
+            SubstructSearchConfig,
+            getSubstructMatches,
+        )
+
+        targets = mols_from_smiles(
+            ["CC(=O)Nc1ccc(O)cc1", "c1ccccc1O", "CCOC(=O)C",
+             "CCN(CC)CC", "c1ccc2[nH]ccc2c1", "OCC(O)CO"] * 3
+        )
+        queries = ["C(=O)N", "c1ccccc1", "[OX2]", "[NX3]"]
+        multi = getSubstructMatches(
+            SubstructLibrary(targets), queries,
+            SubstructSearchConfig(
+                useDeviceEngine=True, deviceIds=list(range(8))
+            ),
+        )
+        single = getSubstructMatches(
+            SubstructLibrary(targets), queries,
+            SubstructSearchConfig(useDeviceEngine=True, deviceIds=[0]),
+        )
+        native = getSubstructMatches(
+            SubstructLibrary(targets), queries,
+            SubstructSearchConfig(useDeviceEngine=False),
+        )
+        import numpy as np
+
+        assert np.array_equal(multi.counts(), single.counts())
+        assert np.array_equal(multi.counts(), native.counts())
+        for ti in range(len(targets)):
+            for qi in range(len(queries)):
+                assert sorted(multi.matches(ti, qi)) == sorted(
+                    native.matches(ti, qi)
+                ), (ti, qi)
+
+    def test_multi_device_counts_only(self):
+        import numpy as np
+
+        from nvmolkit_tpu.chem.native import mols_from_smiles
+        from nvmolkit_tpu.substructure import (
+            SubstructSearchConfig,
+            countSubstructMatches,
+        )
+
+        targets = mols_from_smiles(["CC(=O)NC", "c1ccccc1C(=O)O"] * 8)
+        queries = ["C(=O)", "[OX2H1]"]
+        cm = countSubstructMatches(
+            targets, queries,
+            SubstructSearchConfig(
+                useDeviceEngine=True, deviceIds=list(range(8))
+            ),
+        )
+        cn = countSubstructMatches(
+            targets, queries, SubstructSearchConfig(useDeviceEngine=False)
+        )
+        assert np.array_equal(cm, cn)
