@@ -67,11 +67,13 @@ class EmbedParameters:
     etkMinimizeIters: int = 150
     pruneRmsThresh: float = -1.0      # <=0 disables RMS pruning
     ignoreSmoothingFailures: bool = False  # embed with relaxed unsmoothed bounds
-    # "bfgs" (default, reference-matching NR BFGS; also the fastest
-    # measured end-to-end since the functional-decrease convergence test
-    # landed), "lbfgs" (two-loop, no [S, 4A, 4A] Hessian memory — use on
-    # memory-tight buckets), or "flat" (per-system stepping L-BFGS)
-    minimizerBackend: str = "bfgs"
+    # "flat" (default: per-system stepping L-BFGS — no lockstep
+    # line-search sync, fastest measured end-to-end once the torsion
+    # library's host matching stopped dominating), "bfgs"
+    # (reference-matching NR BFGS with the full inverse Hessian), or
+    # "lbfgs" (two-loop with synchronous line search — use when the
+    # flat backend's extra state presses on memory-tight buckets)
+    minimizerBackend: str = "flat"
 
 
 @dataclasses.dataclass

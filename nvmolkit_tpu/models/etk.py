@@ -41,7 +41,22 @@ class ETKTermsHost:
 def build_etk_terms(mol: Mol, torsion_provider=None) -> ETKTermsHost:
     """Improper (planarity) terms from the graph; experimental-torsion
     terms from ``torsion_provider(mol) -> (idx, coeffs, phase)`` if
-    given."""
+    given.
+
+    Results cache on the Mol keyed by provider identity (the reference
+    caches per-ROMol contribs the same way, ``bfgs_mmff.cpp:199``);
+    editing the Mol's graph afterwards requires a fresh Mol or deleting
+    ``_etk_terms_cache``.
+    """
+    cache = getattr(mol, "_etk_terms_cache", None)
+    if cache is not None and cache[0] is torsion_provider:
+        return cache[1]
+    out = _build_etk_terms_uncached(mol, torsion_provider)
+    mol._etk_terms_cache = (torsion_provider, out)
+    return out
+
+
+def _build_etk_terms_uncached(mol: Mol, torsion_provider=None) -> ETKTermsHost:
     from nvmolkit_tpu.models.uff.builder import _hybridization
 
     imp_idx, imp_k = [], []

@@ -326,6 +326,78 @@ def rule_energy(rule: TorsionRule, phi_deg: np.ndarray) -> np.ndarray:
     return e
 
 
+def _expr_key(expr) -> tuple:
+    """Structural key for an atom expression — dedupes identical
+    expressions across rules so each is evaluated once per molecule.
+    Recursive-SMARTS leaves key by object identity (no dedupe; none of
+    the embedded rules use them)."""
+    from nvmolkit_tpu.chem.smarts import LEAF
+
+    if expr.kind == LEAF:
+        if expr.prop == "recursive":
+            return ("leaf", "recursive", id(expr.pattern))
+        return ("leaf", expr.prop, expr.value)
+    return (expr.kind,) + tuple(_expr_key(c) for c in expr.children)
+
+
+@dataclasses.dataclass
+class _MatchPlan:
+    """Anchored match plan for one rule: map the central pattern bond
+    onto a molecule bond, then extend outward one pattern atom at a
+    time (tree edges in BFS order from the anchors), with any leftover
+    pattern bonds checked as closures."""
+
+    atom_expr_ids: tuple[int, ...]        # per pattern atom
+    central_bond_id: int                  # bond-expr id of the pj-pk bond
+    pj: int                               # pattern atom mapped to j
+    pk: int                               # pattern atom mapped to k
+    steps: tuple[tuple[int, int, int], ...]    # (new_atom, from_atom, bond_id)
+    closures: tuple[tuple[int, int, int], ...]  # (atom_a, atom_b, bond_id)
+
+
+def _build_match_plan(query, quad, atom_ids, bond_ids) -> _MatchPlan | None:
+    """Build the anchored plan, or None when the quad's central pattern
+    atoms are not bonded in the pattern (fall back to generic search)."""
+    pj, pk = quad[1], quad[2]
+    central = None
+    for bi, b in enumerate(query.bonds):
+        if {b.begin, b.end} == {pj, pk}:
+            central = bi
+            break
+    if central is None:
+        return None
+    mapped = {pj, pk}
+    steps = []
+    used_bonds = {central}
+    frontier = [pj, pk]
+    while frontier:
+        nxt = []
+        for pa in frontier:
+            for pb, bi in query.neighbors(pa):
+                if pb in mapped or bi in used_bonds:
+                    continue
+                mapped.add(pb)
+                used_bonds.add(bi)
+                steps.append((pb, pa, bond_ids[bi]))
+                nxt.append(pb)
+        frontier = nxt
+    if len(mapped) != query.num_atoms:
+        return None  # disconnected pattern: generic path handles it
+    closures = tuple(
+        (b.begin, b.end, bond_ids[bi])
+        for bi, b in enumerate(query.bonds)
+        if bi not in used_bonds
+    )
+    return _MatchPlan(
+        atom_expr_ids=tuple(atom_ids),
+        central_bond_id=bond_ids[central],
+        pj=pj,
+        pk=pk,
+        steps=tuple(steps),
+        closures=closures,
+    )
+
+
 def _required_element(expr) -> int | None:
     """Atomic number an atom expression definitely requires, or None.
 
@@ -384,6 +456,41 @@ class ExperimentalTorsionProvider:
                     req.add(el)
             self._needs.append(frozenset(req))
 
+        # Anchored match plans (one per rule) over DEDUPED atom/bond
+        # expressions. Matching a whole library against a molecule via
+        # per-rule subgraph search (find_matches) cost ~9 ms/molecule —
+        # ~70% of ETKDG's end-to-end wall time. The rotor-anchored plan
+        # evaluates each unique atom expression once per molecule
+        # (vectorized), screens candidate central bonds with one [n, n]
+        # mask op per rule, and only runs the (tiny) backtracking
+        # extension on surviving bonds.
+        self._atom_exprs: list = []      # unique Expr objects
+        self._bond_exprs: list = []      # unique (kinds, negate)
+        self._plans: list[_MatchPlan | None] = []
+        atom_key_to_id: dict[tuple, int] = {}
+        bond_key_to_id: dict[tuple, int] = {}
+        for q, rule in zip(self._queries, self.rules):
+            atom_ids = []
+            for qa in q.atoms:
+                key = _expr_key(qa.expr)
+                if key not in atom_key_to_id:
+                    atom_key_to_id[key] = len(self._atom_exprs)
+                    self._atom_exprs.append(qa.expr)
+                atom_ids.append(atom_key_to_id[key])
+            bond_ids = []
+            for qb in q.bonds:
+                key = (qb.kinds, qb.negate)
+                if key not in bond_key_to_id:
+                    bond_key_to_id[key] = len(self._bond_exprs)
+                    self._bond_exprs.append(qb)
+                bond_ids.append(bond_key_to_id[key])
+            self._plans.append(_build_match_plan(q, rule.quad, atom_ids, bond_ids))
+        from nvmolkit_tpu.ops.substruct import query_uses_prop
+
+        self._need_ring_count = any(
+            query_uses_prop(q, "ring_count") for q in self._queries
+        )
+
     def _ring_class(self, mol: Mol, j: int, k: int) -> str | None:
         """'acyclic' | 'small' | 'macro' | None (bond missing)."""
         from nvmolkit_tpu.chem.rings import _smallest_ring_through_bond
@@ -404,37 +511,164 @@ class ExperimentalTorsionProvider:
                 return "mid"
         return None
 
+    def _match_anchored(self, plan, j, k, labels, bondmats, nbrs, n_atoms):
+        """Extend the anchored mapping {pj: j, pk: k} over the rest of
+        the pattern. Returns the full pattern->atom mapping or None."""
+        mapping = {plan.pj: j, plan.pk: k}
+        used = bytearray(n_atoms)
+        used[j] = used[k] = 1
+        steps = plan.steps
+
+        def extend(si: int) -> bool:
+            if si == len(steps):
+                for pa, pb, be in plan.closures:
+                    if not bondmats[be][mapping[pa], mapping[pb]]:
+                        return False
+                return True
+            pa, pfrom, be = steps[si]
+            base = mapping[pfrom]
+            lab = labels[plan.atom_expr_ids[pa]]
+            bm = bondmats[be]
+            for cand in nbrs[base]:
+                if used[cand] or not lab[cand] or not bm[base, cand]:
+                    continue
+                mapping[pa] = cand
+                used[cand] = 1
+                if extend(si + 1):
+                    return True
+                used[cand] = 0
+            return False
+
+        return mapping if extend(0) else None
+
     def __call__(self, mol: Mol):
-        from nvmolkit_tpu.ops.substruct import featurize_target, find_matches
+        from nvmolkit_tpu.ops.substruct import (
+            _bond_ok_matrix,
+            _eval_expr,
+            featurize_target,
+            find_matches,
+        )
 
         elements = {a.atomic_num for a in mol.atoms}
-        tf = featurize_target(mol)
+        tf = featurize_target(mol, need_ring_count=self._need_ring_count)
+        n = tf.n_atoms
+        exists = tf.adj_kind != 0
+        nbrs = [np.nonzero(exists[a])[0] for a in range(n)]
+        labels: dict[int, np.ndarray] = {}
+        labels_any: dict[int, bool] = {}
+        bondmats: dict[int, np.ndarray] = {}
         claimed: set[tuple[int, int]] = set()
         ring_cache: dict[tuple[int, int], str | None] = {}
         idx_rows, coeff_rows, phase_rows = [], [], []
-        for rule, query, needs in zip(self.rules, self._queries, self._needs):
+
+        # candidate central bonds live on the molecule's BOND LIST (both
+        # orientations), not an [n, n] matrix: the per-rule screen is
+        # then three [2B] vector ops instead of three [n, n] ones.
+        n_bonds = len(mol.bonds)
+        bj = np.empty(2 * n_bonds, np.int32)
+        bk = np.empty(2 * n_bonds, np.int32)
+        for bi, b in enumerate(mol.bonds):
+            bj[bi], bk[bi] = b.begin, b.end
+            bj[n_bonds + bi], bk[n_bonds + bi] = b.end, b.begin
+        bond_codes = tf.adj_kind[bj, bk]
+        bond_rings = tf.adj_ring[bj, bk]
+        _CODE = {"single": 1, "double": 2, "triple": 3, "aromatic": 4}
+        bvecs: dict[int, np.ndarray] = {}
+
+        def lab(eid: int) -> np.ndarray:
+            got = labels.get(eid)
+            if got is None:
+                got = labels[eid] = _eval_expr(self._atom_exprs[eid], tf)
+                labels_any[eid] = bool(got.any())
+            return got
+
+        def lab_any(eid: int) -> bool:
+            if eid not in labels_any:
+                lab(eid)
+            return labels_any[eid]
+
+        def bvec(bid: int) -> np.ndarray:
+            """Query-bond predicate over the bond list [2B]."""
+            got = bvecs.get(bid)
+            if got is None:
+                qb = self._bond_exprs[bid]
+                if "any" in qb.kinds:
+                    cond = np.ones_like(bond_rings)
+                else:
+                    cond = np.zeros_like(bond_rings)
+                    for kk in qb.kinds:
+                        if kk == "ring":
+                            cond |= bond_rings
+                        else:
+                            cond |= bond_codes == _CODE[kk]
+                got = bvecs[bid] = (~cond if qb.negate else cond)
+            return got
+
+        def bmat(bid: int) -> np.ndarray:
+            got = bondmats.get(bid)
+            if got is None:
+                got = bondmats[bid] = _bond_ok_matrix(self._bond_exprs[bid], tf)
+            return got
+
+        def claim(rule, i, j, k, l):
+            claimed.add((min(j, k), max(j, k)))
+            coeffs = np.zeros(6, np.float32)
+            phase = np.zeros(6, np.float32)
+            for kk, f, phi0 in rule.terms:
+                coeffs[kk - 1] = f
+                phase[kk - 1] = math.radians(phi0)
+            idx_rows.append((i, j, k, l))
+            coeff_rows.append(coeffs)
+            phase_rows.append(phase)
+
+        def ring_class(j, k):
+            bond = (min(j, k), max(j, k))
+            if bond not in ring_cache:
+                ring_cache[bond] = self._ring_class(mol, j, k)
+            return ring_cache[bond]
+
+        for rule, query, needs, plan in zip(
+            self.rules, self._queries, self._needs, self._plans
+        ):
             if not needs <= elements:
                 continue
-            matches, _ = find_matches(query, tf, max_matches=256, uniquify=False)
-            for row in matches:
-                qi, qj, qk, ql = rule.quad
-                i, j, k, l = (int(row[x]) for x in (qi, qj, qk, ql))
+            if plan is None:
+                # pattern whose quad anchors aren't bonded: generic search
+                matches, _ = find_matches(query, tf, max_matches=256, uniquify=False)
+                for row in matches:
+                    qi, qj, qk, ql = rule.quad
+                    i, j, k, l = (int(row[x]) for x in (qi, qj, qk, ql))
+                    bond = (min(j, k), max(j, k))
+                    if bond in claimed or ring_class(j, k) != rule.ring:
+                        continue
+                    claim(rule, i, j, k, l)
+                continue
+            # vectorized central-bond candidate screen on the bond list
+            eid_j = plan.atom_expr_ids[plan.pj]
+            eid_k = plan.atom_expr_ids[plan.pk]
+            if not (lab_any(eid_j) and lab_any(eid_k)):
+                continue
+            v = bvec(plan.central_bond_id) & lab(eid_j)[bj] & lab(eid_k)[bk]
+            hits = np.nonzero(v)[0]
+            if len(hits) == 0:
+                continue
+            for eid in plan.atom_expr_ids:
+                lab(eid)
+            for _, _, bid in plan.steps + plan.closures:
+                bmat(bid)
+            for h in hits:
+                j, k = int(bj[h]), int(bk[h])
                 bond = (min(j, k), max(j, k))
-                if bond in claimed:
+                if bond in claimed or ring_class(j, k) != rule.ring:
                     continue
-                if bond not in ring_cache:
-                    ring_cache[bond] = self._ring_class(mol, j, k)
-                if ring_cache[bond] != rule.ring:
+                mapping = self._match_anchored(plan, j, k, labels, bondmats, nbrs, n)
+                if mapping is None:
                     continue
-                claimed.add(bond)
-                coeffs = np.zeros(6, np.float32)
-                phase = np.zeros(6, np.float32)
-                for kk, f, phi0 in rule.terms:
-                    coeffs[kk - 1] = f
-                    phase[kk - 1] = math.radians(phi0)
-                idx_rows.append((i, j, k, l))
-                coeff_rows.append(coeffs)
-                phase_rows.append(phase)
+                qi, qj, qk, ql = rule.quad
+                claim(
+                    rule,
+                    mapping[qi], mapping[qj], mapping[qk], mapping[ql],
+                )
         if not idx_rows:
             return (
                 np.zeros((0, 4), np.int32),
