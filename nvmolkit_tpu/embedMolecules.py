@@ -468,13 +468,27 @@ def _embed_bucket(
                 tp = torsion_provider
         else:
             tp = None
-        etk_host = [build_etk_terms(molecules[mi], tp) for mi in mol_ids]
-        etk_pad = pad_etk_batch(etk_host)
-        etk_batch = {k: _put(v[sys_mol]) for k, v in etk_pad.items()}
-        args_etk = {
-            "ub2": ub2, "lb2": lb2, "pair_mask": pair_mask, "etk": etk_batch,
-            "atom_mask": am_s, "bounds_weight": jnp.float32(1.0),
-        }
+
+        # Lazy ETK term build: the per-molecule torsion matching is the
+        # biggest host-side cost (~2-3 ms/molecule). Resolving it only
+        # when the first ETK stage is about to dispatch lets it overlap
+        # attempt 1's DG + fourth-dim minimizations, which are already
+        # running on device by then (XLA async dispatch).
+        _etk_state: dict = {}
+
+        def _etk_resolved():
+            if "batch" not in _etk_state:
+                etk_host = [build_etk_terms(molecules[mi], tp) for mi in mol_ids]
+                etk_pad = pad_etk_batch(etk_host)
+                _etk_state["batch"] = {
+                    k: _put(v[sys_mol]) for k, v in etk_pad.items()
+                }
+                _etk_state["args"] = {
+                    "ub2": ub2, "lb2": lb2, "pair_mask": pair_mask,
+                    "etk": _etk_state["batch"], "atom_mask": am_s,
+                    "bounds_weight": jnp.float32(1.0),
+                }
+            return _etk_state
 
     # Retry compaction: attempt 1 runs the full batch, but later
     # attempts only re-embed the (typically few) still-failing systems.
@@ -515,87 +529,148 @@ def _embed_bucket(
             f"got {params.minimizerBackend!r}"
         )
 
+    check_scalars = (
+        jnp.float32(params.maxViolationRatio),
+        jnp.float32(params.minTetrahedralVolume),
+    )
+    stage_iters = (
+        params.firstMinimizeIters,
+        params.fourthDimMinimizeIters,
+        params.etkMinimizeIters,
+    )
+    dg_weights = (
+        jnp.float32(params.chiralWeightFirst),
+        jnp.float32(params.fourthDimWeightFirst),
+        jnp.float32(params.chiralWeightSecond),
+        jnp.float32(params.fourthDimWeightSecond),
+    )
+
     for attempt in range(max_iterations):
         active = np.nonzero(needed)[0]
         if len(active) == 0:
             break
         sub_S = next(s for s in ladder if s >= len(active))
-        if sub_S >= S:
-            ub_a, lb_a, am_a, pm = ub_s, lb_s, am_s, pair_mask
-            a_first, a_second = args_first, args_second
-            a_etk = args_etk if use_etk else None
-            chk = chk_full
-            row_to_sys = np.arange(S)
-            row_valid = needed.copy()
-        else:
+        if sub_S < S:
             idx_np = np.zeros(sub_S, np.int64)
             idx_np[: len(active)] = active
-            sel = jnp.asarray(idx_np)
-
-            def g(x, _sel=sel):
-                return _put(x[_sel])
-
-            ub_a, lb_a, am_a = g(ub_s), g(lb_s), g(am_s)
-            pm = am_a[:, :, None] & am_a[:, None, :] & tri
-            u2, l2 = ub_a * ub_a, lb_a * lb_a
-            base = {
-                "ub2": u2, "lb2": l2, "pair_mask": pm, "atom_mask": am_a,
-                "chiral_idx": g(ci_s), "chiral_lb": g(clb_s),
-                "chiral_ub": g(cub_s), "chiral_mask": g(cm_s),
-            }
-            a_first = dict(
-                base,
-                chiral_weight=jnp.float32(params.chiralWeightFirst),
-                fourth_dim_weight=jnp.float32(params.fourthDimWeightFirst),
-            )
-            a_second = dict(
-                base,
-                chiral_weight=jnp.float32(params.chiralWeightSecond),
-                fourth_dim_weight=jnp.float32(params.fourthDimWeightSecond),
-            )
-            if use_etk:
-                a_etk = {
-                    "ub2": u2, "lb2": l2, "pair_mask": pm,
-                    "etk": {k: g(v) for k, v in etk_batch.items()},
-                    "atom_mask": am_a, "bounds_weight": jnp.float32(1.0),
-                }
-            chk = tuple(g(x) for x in chk_full)
             row_to_sys = idx_np
             row_valid = np.zeros(sub_S, bool)
             row_valid[: len(active)] = True
+        else:
+            row_to_sys = np.arange(S)
+            row_valid = needed.copy()
 
-        key, k_coords = jax.random.split(key)
-        with stage("coordgen"):
-            coords4 = random_distance_matrices(
-                k_coords, ub_a, lb_a, am_a, n_dims=4
-            )  # [sub_S, A, 4]
-
-        with stage("first_minimization"):
-            res1 = minimize(
-                dg_eg, coords4, am_a, max_iters=params.firstMinimizeIters,
-                energy_args=a_first,
-            )
-        with stage("fourth_dim_minimization"):
-            res2 = minimize(
-                dg_eg, res1.positions, am_a,
-                max_iters=params.fourthDimMinimizeIters, energy_args=a_second,
-            )
-        pos3 = res2.positions[..., :3]  # [sub_S, A, 3]
-        if use_etk:
-            from nvmolkit_tpu.models.etk import etk_eg
-
-            with stage("etk_minimization"):
-                res3 = minimize(
-                    etk_eg, pos3, am_a, max_iters=params.etkMinimizeIters,
-                    energy_args=a_etk,
+        if not multi and sub_S < S:
+            # Fused retry: the whole attempt (compaction gathers,
+            # coordgen, three minimizations, stereo checks) is ONE
+            # device program. The staged path costs ~25 launches per
+            # attempt (21 compaction gathers + 5 stages), and on the
+            # tunneled chip each launch pays ~30 ms of round-trip
+            # latency — more than the sub-batch's compute.
+            key, k_att = jax.random.split(key)
+            with stage("fused_retry"):
+                pos3, oks_arr = _fused_retry_attempt(
+                    minimize, k_att, jnp.asarray(idx_np), ub_s, lb_s, am_s,
+                    chk_full,
+                    _etk_resolved()["batch"] if use_etk else {},
+                    dg_weights, check_scalars, stage_iters, use_etk,
                 )
-            pos3 = res3.positions
+            oks = list(np.asarray(oks_arr))
+        elif not multi:
+            # Full-batch attempt in TWO launches: the DG stages dispatch
+            # first so the (host-side) experimental-torsion term build
+            # overlaps their device time; the ETK stage + checks then go
+            # up as one program.
+            key, k_att = jax.random.split(key)
+            with stage("dg_stages"):
+                pos3 = _fused_dg_stages(
+                    minimize, k_att, ub_s, lb_s, am_s, chk_full[:4],
+                    dg_weights, stage_iters[:2],
+                )
+            etk_b = _etk_resolved()["batch"] if use_etk else {}
+            with stage("etk_checks"):
+                pos3, oks_arr = _fused_etk_checks(
+                    minimize, pos3, ub_s, lb_s, am_s, chk_full, etk_b,
+                    check_scalars, stage_iters[2], use_etk,
+                )
+            oks = list(np.asarray(oks_arr))
+        else:
+            if sub_S >= S:
+                ub_a, lb_a, am_a, pm = ub_s, lb_s, am_s, pair_mask
+                a_first, a_second = args_first, args_second
+                a_etk = None  # resolved lazily right before the ETK stage
+                chk = chk_full
+            else:
+                sel = jnp.asarray(idx_np)
 
-        with stage("stereo_checks"):
-            oks = _check_embeddings(
-                pos3, ub_a, lb_a, pm, *chk,
-                params.maxViolationRatio, params.minTetrahedralVolume,
-            )
+                def g(x, _sel=sel):
+                    return _put(x[_sel])
+
+                ub_a, lb_a, am_a = g(ub_s), g(lb_s), g(am_s)
+                pm = am_a[:, :, None] & am_a[:, None, :] & tri
+                u2, l2 = ub_a * ub_a, lb_a * lb_a
+                base = {
+                    "ub2": u2, "lb2": l2, "pair_mask": pm, "atom_mask": am_a,
+                    "chiral_idx": g(ci_s), "chiral_lb": g(clb_s),
+                    "chiral_ub": g(cub_s), "chiral_mask": g(cm_s),
+                }
+                a_first = dict(
+                    base,
+                    chiral_weight=dg_weights[0],
+                    fourth_dim_weight=dg_weights[1],
+                )
+                a_second = dict(
+                    base,
+                    chiral_weight=dg_weights[2],
+                    fourth_dim_weight=dg_weights[3],
+                )
+                if use_etk:
+                    a_etk = {
+                        "ub2": u2, "lb2": l2, "pair_mask": pm,
+                        "etk": {
+                            k: g(v) for k, v in _etk_resolved()["batch"].items()
+                        },
+                        "atom_mask": am_a, "bounds_weight": jnp.float32(1.0),
+                    }
+                chk = tuple(g(x) for x in chk_full)
+
+            key, k_coords = jax.random.split(key)
+            with stage("coordgen"):
+                coords4 = random_distance_matrices(
+                    k_coords, ub_a, lb_a, am_a, n_dims=4
+                )  # [sub_S, A, 4]
+
+            with stage("first_minimization"):
+                res1 = minimize(
+                    dg_eg, coords4, am_a, max_iters=params.firstMinimizeIters,
+                    energy_args=a_first,
+                )
+            with stage("fourth_dim_minimization"):
+                res2 = minimize(
+                    dg_eg, res1.positions, am_a,
+                    max_iters=params.fourthDimMinimizeIters, energy_args=a_second,
+                )
+            pos3 = res2.positions[..., :3]  # [sub_S, A, 3]
+            if use_etk:
+                from nvmolkit_tpu.models.etk import etk_eg
+
+                if a_etk is None:
+                    a_etk = _etk_resolved()["args"]
+                with stage("etk_minimization"):
+                    res3 = minimize(
+                        etk_eg, pos3, am_a, max_iters=params.etkMinimizeIters,
+                        energy_args=a_etk,
+                    )
+                pos3 = res3.positions
+
+            with stage("stereo_checks"):
+                oks = _check_embeddings(
+                    pos3, ub_a, lb_a, pm, *chk,
+                    params.maxViolationRatio, params.minTetrahedralVolume,
+                )
+            # one stacked fetch instead of six (each device->host fetch
+            # pays a full tunnel round trip)
+            oks = list(np.asarray(jnp.stack(oks)))
         names = (
             ("bounds_check",),
             ("chiral_check",),
@@ -604,7 +679,6 @@ def _embed_bucket(
             ("double_bond_stereo",),
             ("chiral_dist_check",),
         )
-        oks = [np.asarray(o) for o in oks]
         ok = np.ones(len(row_valid), bool)
         passed_so_far = np.ones(len(row_valid), bool)
         for (name,), o in zip(names, oks):
@@ -623,6 +697,105 @@ def _embed_bucket(
             out_pos[mi, ci, :na] = pos_np[j, :na]
             out_conf_mask[mi, ci] = True
             needed[s] = False
+
+
+import functools as _functools
+
+
+def _dg_stages_impl(minimize, key, ub, lb, am, chiral, dg_weights, dg_iters):
+    """coordgen + first + fourth-dim minimizations (traced helper)."""
+    from nvmolkit_tpu.models.dist_geom import dg_eg
+
+    A = ub.shape[1]
+    tri = jnp.triu(jnp.ones((A, A), bool), 1)[None]
+    pm = am[:, :, None] & am[:, None, :] & tri
+    base = {
+        "ub2": ub * ub, "lb2": lb * lb, "pair_mask": pm, "atom_mask": am,
+        "chiral_idx": chiral[0], "chiral_lb": chiral[1],
+        "chiral_ub": chiral[2], "chiral_mask": chiral[3],
+    }
+    a_first = dict(
+        base, chiral_weight=dg_weights[0], fourth_dim_weight=dg_weights[1]
+    )
+    a_second = dict(
+        base, chiral_weight=dg_weights[2], fourth_dim_weight=dg_weights[3]
+    )
+    coords4 = random_distance_matrices(key, ub, lb, am, n_dims=4)
+    res1 = minimize(
+        dg_eg, coords4, am, max_iters=dg_iters[0], energy_args=a_first
+    )
+    res2 = minimize(
+        dg_eg, res1.positions, am, max_iters=dg_iters[1], energy_args=a_second
+    )
+    return res2.positions[..., :3]
+
+
+def _etk_checks_impl(
+    minimize, pos3, ub, lb, am, chk, etk_batch, check_scalars, etk_iters, use_etk
+):
+    """Optional ETK 3-D refinement + the six stereo checks (traced)."""
+    A = ub.shape[1]
+    tri = jnp.triu(jnp.ones((A, A), bool), 1)[None]
+    pm = am[:, :, None] & am[:, None, :] & tri
+    if use_etk:
+        from nvmolkit_tpu.models.etk import etk_eg
+
+        a_etk = {
+            "ub2": ub * ub, "lb2": lb * lb, "pair_mask": pm,
+            "etk": etk_batch, "atom_mask": am,
+            "bounds_weight": jnp.float32(1.0),
+        }
+        pos3 = minimize(
+            etk_eg, pos3, am, max_iters=etk_iters, energy_args=a_etk
+        ).positions
+    oks = _check_embeddings(pos3, ub, lb, pm, *chk, *check_scalars)
+    return pos3, jnp.stack(oks)
+
+
+@_functools.partial(jax.jit, static_argnames=("minimize", "dg_iters"))
+def _fused_dg_stages(minimize, key, ub, lb, am, chiral, dg_weights, dg_iters):
+    return _dg_stages_impl(minimize, key, ub, lb, am, chiral, dg_weights, dg_iters)
+
+
+@_functools.partial(jax.jit, static_argnames=("minimize", "etk_iters", "use_etk"))
+def _fused_etk_checks(
+    minimize, pos3, ub, lb, am, chk, etk_batch, check_scalars, etk_iters, use_etk
+):
+    return _etk_checks_impl(
+        minimize, pos3, ub, lb, am, chk, etk_batch, check_scalars,
+        etk_iters, use_etk,
+    )
+
+
+@_functools.partial(
+    jax.jit, static_argnames=("minimize", "stage_iters", "use_etk")
+)
+def _fused_retry_attempt(
+    minimize, key, sel, ub_s, lb_s, am_s, chk_full, etk_batch,
+    dg_weights, check_scalars, stage_iters, use_etk,
+):
+    """One whole retry attempt as a single device program.
+
+    Gathers the still-failing systems out of the full-batch arrays,
+    regenerates coordinates, runs the three minimization stages and the
+    stereo checks — one launch, one (pos3, oks) result. The reference
+    keeps retries on-device through its CUDA-graph Scheduler
+    (``etkdg_impl.h:210-233``); this is the XLA equivalent.
+    """
+
+    def take(x):
+        return x[sel]
+
+    ub, lb, am = take(ub_s), take(lb_s), take(am_s)
+    chk = tuple(take(x) for x in chk_full)
+    pos3 = _dg_stages_impl(
+        minimize, key, ub, lb, am, chk[:4], dg_weights, stage_iters[:2]
+    )
+    return _etk_checks_impl(
+        minimize, pos3, ub, lb, am, chk,
+        {k: take(v) for k, v in etk_batch.items()},
+        check_scalars, stage_iters[2], use_etk,
+    )
 
 
 @jax.jit

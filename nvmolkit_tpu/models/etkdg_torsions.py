@@ -398,6 +398,13 @@ def _build_match_plan(query, quad, atom_ids, bond_ids) -> _MatchPlan | None:
     )
 
 
+def _bond_index(mol: Mol, j: int, k: int) -> int | None:
+    for bi in mol.atom_bonds(j):
+        if mol.bonds[bi].other(j) == k:
+            return bi
+    return None
+
+
 def _required_element(expr) -> int | None:
     """Atomic number an atom expression definitely requires, or None.
 
@@ -490,6 +497,23 @@ class ExperimentalTorsionProvider:
         self._need_ring_count = any(
             query_uses_prop(q, "ring_count") for q in self._queries
         )
+        # flat execution table: element bitmask + anchor expr ids + ring
+        # code per rule, so the per-molecule loop does no attribute
+        # chasing or set algebra
+        ring_code = {"acyclic": 0, "small": 1, "mid": 2, "macro": 3}
+        self._rule_exec = []
+        for rule, query, needs, plan in zip(
+            self.rules, self._queries, self._needs, self._plans
+        ):
+            mask = 0
+            for el in needs:
+                mask |= 1 << min(el, 63)
+            self._rule_exec.append((
+                mask, plan, rule, query,
+                None if plan is None else plan.atom_expr_ids[plan.pj],
+                None if plan is None else plan.atom_expr_ids[plan.pk],
+                ring_code[rule.ring],
+            ))
 
     def _ring_class(self, mol: Mol, j: int, k: int) -> str | None:
         """'acyclic' | 'small' | 'macro' | None (bond missing)."""
@@ -549,27 +573,37 @@ class ExperimentalTorsionProvider:
             find_matches,
         )
 
-        elements = {a.atomic_num for a in mol.atoms}
+        mol_mask = 0
+        for a in mol.atoms:
+            mol_mask |= 1 << min(a.atomic_num, 63)
         tf = featurize_target(mol, need_ring_count=self._need_ring_count)
         n = tf.n_atoms
         exists = tf.adj_kind != 0
         nbrs = [np.nonzero(exists[a])[0] for a in range(n)]
         labels: dict[int, np.ndarray] = {}
         labels_any: dict[int, bool] = {}
+        labels_b: dict[int, tuple] = {}
         bondmats: dict[int, np.ndarray] = {}
-        claimed: set[tuple[int, int]] = set()
-        ring_cache: dict[tuple[int, int], str | None] = {}
         idx_rows, coeff_rows, phase_rows = [], [], []
 
         # candidate central bonds live on the molecule's BOND LIST (both
         # orientations), not an [n, n] matrix: the per-rule screen is
-        # then three [2B] vector ops instead of three [n, n] ones.
+        # then a handful of [2B] vector ops.
         n_bonds = len(mol.bonds)
         bj = np.empty(2 * n_bonds, np.int32)
         bk = np.empty(2 * n_bonds, np.int32)
+        # ring-tier code per bond (0 acyclic, 1 small, 2 mid, 3 macro),
+        # resolved once up front (SSSR walk only for actual ring bonds)
+        bond_class = np.zeros(2 * n_bonds, np.int8)
         for bi, b in enumerate(mol.bonds):
             bj[bi], bk[bi] = b.begin, b.end
             bj[n_bonds + bi], bk[n_bonds + bi] = b.end, b.begin
+            if b.in_ring:
+                c = self._ring_class(mol, b.begin, b.end)
+                code = {"acyclic": 0, "small": 1, "mid": 2, "macro": 3}.get(c, 2)
+                bond_class[bi] = bond_class[n_bonds + bi] = code
+        claimed_vec = np.zeros(2 * n_bonds, bool)
+        class_ok: dict[int, np.ndarray] = {}
         bond_codes = tf.adj_kind[bj, bk]
         bond_rings = tf.adj_ring[bj, bk]
         _CODE = {"single": 1, "double": 2, "triple": 3, "aromatic": 4}
@@ -586,6 +620,15 @@ class ExperimentalTorsionProvider:
             if eid not in labels_any:
                 lab(eid)
             return labels_any[eid]
+
+        def lab_b(eid: int) -> tuple:
+            """(label[bj], label[bk]) — cached: shared expressions like
+            [c] or [CX4] appear in dozens of rules."""
+            got = labels_b.get(eid)
+            if got is None:
+                v = lab(eid)
+                got = labels_b[eid] = (v[bj], v[bk])
+            return got
 
         def bvec(bid: int) -> np.ndarray:
             """Query-bond predicate over the bond list [2B]."""
@@ -611,7 +654,6 @@ class ExperimentalTorsionProvider:
             return got
 
         def claim(rule, i, j, k, l):
-            claimed.add((min(j, k), max(j, k)))
             coeffs = np.zeros(6, np.float32)
             phase = np.zeros(6, np.float32)
             for kk, f, phi0 in rule.terms:
@@ -621,16 +663,8 @@ class ExperimentalTorsionProvider:
             coeff_rows.append(coeffs)
             phase_rows.append(phase)
 
-        def ring_class(j, k):
-            bond = (min(j, k), max(j, k))
-            if bond not in ring_cache:
-                ring_cache[bond] = self._ring_class(mol, j, k)
-            return ring_cache[bond]
-
-        for rule, query, needs, plan in zip(
-            self.rules, self._queries, self._needs, self._plans
-        ):
-            if not needs <= elements:
+        for mask, plan, rule, query, eid_j, eid_k, rcode in self._rule_exec:
+            if mask & mol_mask != mask:
                 continue
             if plan is None:
                 # pattern whose quad anchors aren't bonded: generic search
@@ -638,17 +672,29 @@ class ExperimentalTorsionProvider:
                 for row in matches:
                     qi, qj, qk, ql = rule.quad
                     i, j, k, l = (int(row[x]) for x in (qi, qj, qk, ql))
-                    bond = (min(j, k), max(j, k))
-                    if bond in claimed or ring_class(j, k) != rule.ring:
+                    bidx = _bond_index(mol, j, k)
+                    if (
+                        bidx is None
+                        or claimed_vec[bidx]
+                        or bond_class[bidx] != rcode
+                    ):
                         continue
                     claim(rule, i, j, k, l)
+                    claimed_vec[bidx] = claimed_vec[bidx + n_bonds] = True
                 continue
             # vectorized central-bond candidate screen on the bond list
-            eid_j = plan.atom_expr_ids[plan.pj]
-            eid_k = plan.atom_expr_ids[plan.pk]
             if not (lab_any(eid_j) and lab_any(eid_k)):
                 continue
-            v = bvec(plan.central_bond_id) & lab(eid_j)[bj] & lab(eid_k)[bk]
+            ok_class = class_ok.get(rcode)
+            if ok_class is None:
+                ok_class = class_ok[rcode] = bond_class == rcode
+            v = (
+                bvec(plan.central_bond_id)
+                & lab_b(eid_j)[0]
+                & lab_b(eid_k)[1]
+                & ok_class
+                & ~claimed_vec
+            )
             hits = np.nonzero(v)[0]
             if len(hits) == 0:
                 continue
@@ -657,10 +703,9 @@ class ExperimentalTorsionProvider:
             for _, _, bid in plan.steps + plan.closures:
                 bmat(bid)
             for h in hits:
-                j, k = int(bj[h]), int(bk[h])
-                bond = (min(j, k), max(j, k))
-                if bond in claimed or ring_class(j, k) != rule.ring:
+                if claimed_vec[h]:
                     continue
+                j, k = int(bj[h]), int(bk[h])
                 mapping = self._match_anchored(plan, j, k, labels, bondmats, nbrs, n)
                 if mapping is None:
                     continue
@@ -669,6 +714,8 @@ class ExperimentalTorsionProvider:
                     rule,
                     mapping[qi], mapping[qj], mapping[qk], mapping[ql],
                 )
+                base = h % n_bonds
+                claimed_vec[base] = claimed_vec[base + n_bonds] = True
         if not idx_rows:
             return (
                 np.zeros((0, 4), np.int32),

@@ -160,6 +160,16 @@ def batch_mmff_terms(
     )
 
 
+# Batch-level cache: repeated optimize calls over the SAME molecule
+# list (conformer pipelines re-minimizing a set, throughput loops) skip
+# the numpy padding/packing entirely and reuse the device-resident
+# MMFFBatch. Small bounded FIFO; entries hold strong Mol references so
+# id() keys cannot alias after GC.
+_BATCH_CACHE: dict = {}
+_BATCH_CACHE_ORDER: list = []
+_BATCH_CACHE_MAX = 8
+
+
 def make_batched_mmff(
     mols: list[Mol],
     max_atoms: int,
@@ -170,9 +180,10 @@ def make_batched_mmff(
 
     Per-molecule parametrization is cached on the Mol object (the
     reference caches contribs per ROMol*, ``bfgs_mmff.cpp:199``), keyed
-    by provider + the MMFFProperties knobs that affect term building.
-    Editing a Mol's graph after the first use requires a fresh Mol (or
-    deleting ``_mmff_terms_cache``).
+    by provider + the MMFFProperties knobs that affect term building;
+    the fully-batched device tables additionally cache per molecule
+    LIST. Editing a Mol's graph after the first use requires a fresh
+    Mol (or deleting ``_mmff_terms_cache``).
     """
     from nvmolkit_tpu.models.mmff.providers import default_provider
 
@@ -184,6 +195,13 @@ def make_batched_mmff(
         props.nonBondedThreshold,
         props.ignoreInterfragInteractions,
     )
+    batch_key = (
+        tuple(id(m) for m in mols), max_atoms, key,
+        tuple(sorted(vars(props).items())),
+    )
+    hit = _BATCH_CACHE.get(batch_key)
+    if hit is not None:
+        return hit[1]
     terms = []
     for m in mols:
         cache = getattr(m, "_mmff_terms_cache", None)
@@ -191,7 +209,12 @@ def make_batched_mmff(
             cache = (key, provider.build_terms(m, props))
             m._mmff_terms_cache = cache
         terms.append(cache[1])
-    return batch_mmff_terms(terms, [m.num_atoms for m in mols], max_atoms, props)
+    batch = batch_mmff_terms(terms, [m.num_atoms for m in mols], max_atoms, props)
+    _BATCH_CACHE[batch_key] = (list(mols), batch)
+    _BATCH_CACHE_ORDER.append(batch_key)
+    while len(_BATCH_CACHE_ORDER) > _BATCH_CACHE_MAX:
+        _BATCH_CACHE.pop(_BATCH_CACHE_ORDER.pop(0), None)
+    return batch
 
 
 # Term math runs in [S, 3, T] layout: xyz on the sublane axis, terms on
