@@ -11,6 +11,8 @@ throughput win.
 """
 from __future__ import annotations
 
+from functools import partial
+
 import numpy as np
 
 import jax
@@ -49,7 +51,7 @@ def minimize_compacting_start(
     max_iters: int = 200,
     grad_tol: float = 1e-4,
     backend: str = "flat",
-    phase1_iters: int = 48,
+    phase1_iters: int = 24,
 ):
     """Dispatch phase 1 without blocking; returns a finish() thunk.
 
@@ -92,7 +94,7 @@ def minimize_compacting(
     max_iters: int = 200,
     grad_tol: float = 1e-4,
     backend: str = "flat",
-    phase1_iters: int = 48,
+    phase1_iters: int = 24,
 ) -> BfgsResult:
     return minimize_compacting_start(
         energy_and_grad_fn, positions, atom_mask, batch,
@@ -118,23 +120,41 @@ def _finish_stragglers(
     n_pad = min(n_pad, S)
     idx = np.zeros(n_pad, np.int64)
     idx[: len(todo)] = todo  # padding duplicates system todo[0]... index 0 rows
+    # Gather + minimize + scatter as ONE device program: the unfused
+    # path paid one launch per batch leaf (~18 per chunk), and on the
+    # tunneled chip each launch costs ~30 ms of round-trip latency.
+    return _finish_fused(
+        minimize, energy_and_grad_fn, jnp.asarray(idx),
+        jnp.int32(len(todo)), res, atom_mask, batch,
+        max_iters if backend == "flat" else max_iters - phase1,
+        grad_tol,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("minimize", "fn", "max_iters", "grad_tol"),
+)
+def _finish_fused(
+    minimize, fn, idx, n_real, res, atom_mask, batch, max_iters, grad_tol
+):
+    S = res.positions.shape[0]
     sub_batch = _gather_batch(batch, idx, S)
     sub_res = minimize(
-        energy_and_grad_fn,
+        fn,
         res.positions[idx],
         atom_mask[idx],
-        max_iters=max_iters if backend == "flat" else max_iters - phase1,
+        max_iters=max_iters,
         grad_tol=grad_tol,
         energy_args=sub_batch,
     )
-
-    k = len(todo)
-    positions_out = res.positions.at[todo].set(sub_res.positions[:k])
-    energies_out = res.energies.at[todo].set(sub_res.energies[:k])
-    converged_out = res.converged.at[todo].set(sub_res.converged[:k])
+    # padding lanes scatter to index S, which JAX drops (out-of-bounds
+    # scatter updates are ignored)
+    valid = jnp.arange(idx.shape[0]) < n_real
+    sidx = jnp.where(valid, idx, S)
     return BfgsResult(
-        positions=positions_out,
-        energies=energies_out,
-        converged=converged_out,
+        positions=res.positions.at[sidx].set(sub_res.positions),
+        energies=res.energies.at[sidx].set(sub_res.energies),
+        converged=res.converged.at[sidx].set(sub_res.converged),
         n_iters=res.n_iters + sub_res.n_iters,
     )
