@@ -551,14 +551,21 @@ def _embed_bucket(
             break
         sub_S = next(s for s in ladder if s >= len(active))
         if sub_S < S:
-            idx_np = np.zeros(sub_S, np.int64)
-            idx_np[: len(active)] = active
+            # Oversample: ladder padding lanes run EXTRA independent
+            # tries (fresh PRNG rows) of the failing systems instead of
+            # discarded placeholder work — any passing duplicate fills
+            # the slot, roughly halving the expected rounds to drain
+            # the straggler tail.
+            idx_np = np.resize(active, sub_S).astype(np.int64)
             row_to_sys = idx_np
-            row_valid = np.zeros(sub_S, bool)
-            row_valid[: len(active)] = True
+            row_valid = np.ones(sub_S, bool)
+            # failure counters only consider each system's first row,
+            # preserving one-try-per-round counter semantics
+            first_row = np.arange(sub_S) < len(active)
         else:
             row_to_sys = np.arange(S)
             row_valid = needed.copy()
+            first_row = np.ones(S, bool)
 
         if not multi and sub_S < S:
             # Fused retry: the whole attempt (compaction gathers,
@@ -682,7 +689,7 @@ def _embed_bucket(
         ok = np.ones(len(row_valid), bool)
         passed_so_far = np.ones(len(row_valid), bool)
         for (name,), o in zip(names, oks):
-            newly_failed = row_valid & passed_so_far & ~o
+            newly_failed = row_valid & first_row & passed_so_far & ~o
             setattr(fail, name, getattr(fail, name) + int(newly_failed.sum()))
             passed_so_far &= o
             ok &= o
