@@ -49,10 +49,15 @@ def _rows(path: Path):
 
 
 class MMFFParameterTables:
-    """Parsed .PAR tables with canonical-order lookups."""
+    """Parsed .PAR tables with canonical-order lookups.
 
-    def __init__(self, directory: str | Path):
-        d = Path(directory)
+    Construction paths: ``MMFFParameterTables(dir)`` parses the .PAR
+    distribution files; :meth:`from_payload` rebuilds from the JSON
+    payload written by ``tools/embed_mmff_par.py`` (the embedded-data
+    route for RDKit-less deployments).
+    """
+
+    def __init__(self, directory: str | Path | None = None):
         self.bond: dict[tuple, tuple] = {}
         self.angle: dict[tuple, tuple] = {}
         self.stbn: dict[tuple, tuple] = {}
@@ -61,60 +66,77 @@ class MMFFParameterTables:
         self.vdw: dict[int, tuple] = {}
         self.chg: dict[tuple, float] = {}
         self.defaults: dict[int, tuple] = {}
+        self._payload: dict = {}
+        if directory is not None:
+            self._ingest(self._parse_dir(Path(directory)))
 
-        p = d / "MMFFBOND.PAR"
-        if p.exists():
-            for r in _rows(p):
-                bt, i, j = int(r[0]), int(r[1]), int(r[2])
-                self.bond[(bt, min(i, j), max(i, j))] = (float(r[3]), float(r[4]))
-        p = d / "MMFFANG.PAR"
-        if p.exists():
-            for r in _rows(p):
-                at, i, j, k = (int(x) for x in r[:4])
-                lo, hi = min(i, k), max(i, k)
-                self.angle[(at, lo, j, hi)] = (float(r[4]), float(r[5]))
-        p = d / "MMFFSTBN.PAR"
-        if p.exists():
-            for r in _rows(p):
-                sbt, i, j, k = (int(x) for x in r[:4])
-                self.stbn[(sbt, i, j, k)] = (float(r[4]), float(r[5]))
-        p = d / "MMFFTOR.PAR"
-        if p.exists():
-            for r in _rows(p):
-                tt, i, j, k, l = (int(x) for x in r[:5])
-                if (j, i) < (k, l):
-                    i, j, k, l = l, k, j, i
-                self.tor[(tt, i, j, k, l)] = (
-                    float(r[5]), float(r[6]), float(r[7])
-                )
-        p = d / "MMFFOOP.PAR"
-        if p.exists():
-            for r in _rows(p):
-                i, j, k, l = (int(x) for x in r[:4])
-                self.oop[(tuple(sorted((i, k, l))), j)] = float(r[4])
-        p = d / "MMFFVDW.PAR"
-        if p.exists():
-            for r in _rows(p):
-                # I alpha N A G DA
-                da = r[5] if len(r) > 5 else "-"
-                self.vdw[int(r[0])] = (
-                    float(r[1]), float(r[2]), float(r[3]), float(r[4]), da
-                )
-        p = d / "MMFFCHG.PAR"
-        if p.exists():
-            for r in _rows(p):
-                bt, i, j = int(r[0]), int(r[1]), int(r[2])
-                bci = float(r[3])
-                if i > j:
-                    i, j, bci = j, i, -bci
-                self.chg[(bt, i, j)] = bci
+    @staticmethod
+    def _parse_dir(d: Path) -> dict:
+        """Raw numeric rows per table kind (the JSON payload format)."""
+        rows: dict = {}
+
+        def read(name, cols_int, cols_float, keep_str=None):
+            p = d / name
+            out = []
+            if p.exists():
+                for r in _rows(p):
+                    row = [int(r[c]) for c in cols_int]
+                    row += [float(r[c]) for c in cols_float]
+                    if keep_str is not None:
+                        row.append(r[keep_str] if len(r) > keep_str else "-")
+                    out.append(row)
+            return out
+
+        rows["bond"] = read("MMFFBOND.PAR", (0, 1, 2), (3, 4))
+        rows["angle"] = read("MMFFANG.PAR", (0, 1, 2, 3), (4, 5))
+        rows["stbn"] = read("MMFFSTBN.PAR", (0, 1, 2, 3), (4, 5))
+        rows["tor"] = read("MMFFTOR.PAR", (0, 1, 2, 3, 4), (5, 6, 7))
+        rows["oop"] = read("MMFFOOP.PAR", (0, 1, 2, 3), (4,))
+        rows["vdw"] = read("MMFFVDW.PAR", (0,), (1, 2, 3, 4), keep_str=5)
+        rows["chg"] = read("MMFFCHG.PAR", (0, 1, 2), (3,))
+        defaults = []
         p = d / "MMFFDEF.PAR"
         if p.exists():
             for r in _rows(p):
                 # columns: symbol? type eq1..eq4 — accept 5 trailing ints
                 ints = [int(x) for x in r if x.lstrip("-").isdigit()]
                 if len(ints) >= 5:
-                    self.defaults[ints[0]] = tuple(ints[1:5])
+                    defaults.append(ints[:5])
+        rows["defaults"] = defaults
+        return rows
+
+    def _ingest(self, rows: dict) -> None:
+        self._payload = rows
+        for bt, i, j, kb, r0 in rows.get("bond", ()):
+            self.bond[(bt, min(i, j), max(i, j))] = (kb, r0)
+        for at, i, j, k, ka, theta0 in rows.get("angle", ()):
+            lo, hi = min(i, k), max(i, k)
+            self.angle[(at, lo, j, hi)] = (ka, theta0)
+        for sbt, i, j, k, kba_ijk, kba_kji in rows.get("stbn", ()):
+            self.stbn[(sbt, i, j, k)] = (kba_ijk, kba_kji)
+        for tt, i, j, k, l, v1, v2, v3 in rows.get("tor", ()):
+            if (j, i) < (k, l):
+                i, j, k, l = l, k, j, i
+            self.tor[(tt, i, j, k, l)] = (v1, v2, v3)
+        for i, j, k, l, koop in rows.get("oop", ()):
+            self.oop[(tuple(sorted((i, k, l))), j)] = koop
+        for t, alpha, neff, a_c, g_c, da in rows.get("vdw", ()):
+            self.vdw[t] = (alpha, neff, a_c, g_c, da)
+        for bt, i, j, bci in rows.get("chg", ()):
+            if i > j:
+                i, j, bci = j, i, -bci
+            self.chg[(bt, i, j)] = bci
+        for t, e1, e2, e3, e4 in rows.get("defaults", ()):
+            self.defaults[t] = (e1, e2, e3, e4)
+
+    def to_payload(self) -> dict:
+        return self._payload
+
+    @classmethod
+    def from_payload(cls, payload: dict) -> "MMFFParameterTables":
+        t = cls()
+        t._ingest(payload)
+        return t
 
     # --- equivalence-level lookups (MMFFDEF fallback chain) --------------
 
@@ -165,14 +187,43 @@ class MMFFParameterTables:
         return self.chg.get((bt, ti, tj))
 
 
-class MMFFParameterFileProvider:
-    """Exact MMFF94 parameters from the standard .PAR distribution files,
-    with empirical-rule fill-in for anything the tables miss."""
+# Embedded tables: tools/embed_mmff_par.py converts the .PAR
+# distribution into this gzipped JSON; when committed, the standalone
+# default becomes table-exact (default_provider tier 3).
+EMBEDDED_TABLES_PATH = Path(__file__).parent / "data" / "mmff94_params.json.gz"
 
-    def __init__(self, directory: str | Path):
-        self.tables = MMFFParameterTables(directory)
+
+def embedded_tables_available() -> bool:
+    return EMBEDDED_TABLES_PATH.exists()
+
+
+def load_embedded_tables() -> "MMFFParameterTables":
+    import gzip
+    import json
+
+    with gzip.open(EMBEDDED_TABLES_PATH, "rt") as f:
+        return MMFFParameterTables.from_payload(json.load(f))
+
+
+class MMFFParameterFileProvider:
+    """Exact MMFF94 parameters from the standard .PAR distribution files
+    (or the embedded JSON payload), with empirical-rule fill-in for
+    anything the tables miss."""
+
+    def __init__(
+        self,
+        directory: str | Path | None = None,
+        tables: MMFFParameterTables | None = None,
+    ):
+        if (directory is None) == (tables is None):
+            raise ValueError("pass exactly one of directory / tables")
+        self.tables = tables if tables is not None else MMFFParameterTables(directory)
         self._rules = EmpiricalMMFFProvider()
-        self.cache_key = f"MMFFParameterFileProvider:{directory}"
+        self.cache_key = (
+            f"MMFFParameterFileProvider:{directory}"
+            if directory is not None
+            else "MMFFParameterFileProvider:embedded"
+        )
 
     def build_terms(self, mol: Mol, props: MMFFProperties) -> MMFFTerms:
         base = self._rules.build_terms(mol, props)  # rule-derived fallback

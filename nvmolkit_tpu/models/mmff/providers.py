@@ -44,7 +44,9 @@ def default_provider():
     1. RDKit (exact MMFF94 assignment) when importable,
     2. the standard MMFF94 .PAR distribution files when a directory is
        named via ``NVMOLKIT_MMFF_PARAMS`` (exact tables, rule fill-in),
-    3. the published MMFF94 empirical rules (standalone default).
+    3. the embedded table payload when committed
+       (``tools/embed_mmff_par.py`` writes it from the .PAR files),
+    4. the published MMFF94 empirical rules (standalone default).
     """
     import os
 
@@ -55,6 +57,14 @@ def default_provider():
         from nvmolkit_tpu.models.mmff.params_files import MMFFParameterFileProvider
 
         return MMFFParameterFileProvider(par_dir)
+    from nvmolkit_tpu.models.mmff.params_files import (
+        MMFFParameterFileProvider,
+        embedded_tables_available,
+        load_embedded_tables,
+    )
+
+    if embedded_tables_available():
+        return MMFFParameterFileProvider(tables=load_embedded_tables())
     from nvmolkit_tpu.models.mmff.rules import EmpiricalMMFFProvider
 
     return EmpiricalMMFFProvider()

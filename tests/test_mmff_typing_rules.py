@@ -215,3 +215,43 @@ def test_uff_interfrag_flag():
     p_off = np.asarray(off.vdw.atoms[: off.vdw.n_terms])
     assert all(frag[i] == frag[j] for i, j in p_on)
     assert any(frag[i] != frag[j] for i, j in p_off)
+
+
+def test_par_payload_roundtrip(tmp_path):
+    """embed_mmff_par's JSON payload must rebuild identical tables."""
+    import gzip
+    import json
+
+    from nvmolkit_tpu.models.mmff.params_files import MMFFParameterTables
+
+    (tmp_path / "MMFFBOND.PAR").write_text(
+        "0  1  1  9.999  1.234\n0  1  6  8.888  1.345\n"
+    )
+    (tmp_path / "MMFFANG.PAR").write_text("0  1  1  6  7.77  111.1\n")
+    (tmp_path / "MMFFSTBN.PAR").write_text("0  1  1  6  0.21  0.33\n")
+    (tmp_path / "MMFFTOR.PAR").write_text("0  1  1  1  6  0.1  0.2  0.3\n")
+    (tmp_path / "MMFFOOP.PAR").write_text("1  2  1  6  0.05\n")
+    (tmp_path / "MMFFVDW.PAR").write_text(
+        "1  1.050  2.490  3.890  1.282  -\n6  0.700  3.150  3.890  1.113  A\n"
+    )
+    (tmp_path / "MMFFCHG.PAR").write_text("0  1  6  0.3000\n")
+    (tmp_path / "MMFFDEF.PAR").write_text("XX  20  1  1  1  0\n")
+    t = MMFFParameterTables(tmp_path)
+
+    blob = tmp_path / "payload.json.gz"
+    with gzip.open(blob, "wt") as f:
+        json.dump(t.to_payload(), f)
+    with gzip.open(blob, "rt") as f:
+        t2 = MMFFParameterTables.from_payload(json.load(f))
+
+    assert t2.bond == t.bond
+    assert t2.angle == t.angle
+    assert t2.stbn == t.stbn
+    assert t2.tor == t.tor
+    assert {tuple(k[0]) + (k[1],) for k in t2.oop} == {
+        tuple(k[0]) + (k[1],) for k in t.oop
+    }
+    assert t2.vdw == {k: tuple(v) for k, v in t.vdw.items()}
+    assert t2.chg == t.chg
+    assert t2.defaults == t.defaults
+    assert t2.lookup_bond(0, 20, 6) == (8.888, 1.345)  # via MMFFDEF fallback

@@ -183,3 +183,73 @@ class TestEmbedQuality:
             if near <= window:
                 hits += 1
         assert hits / total >= 0.5, (smiles, hits, total)
+
+
+class TestAnchoredMatcherDifferential:
+    """The rotor-anchored fast matcher must claim exactly what the
+    generic subgraph-search algorithm claims (the round-2
+    implementation, kept here as the oracle)."""
+
+    @staticmethod
+    def _call_generic(prov, mol):
+        """Reference algorithm: per-rule find_matches over the whole
+        molecule, first rule claiming a central bond wins."""
+        from nvmolkit_tpu.ops.substruct import featurize_target, find_matches
+
+        elements = {a.atomic_num for a in mol.atoms}
+        tf = featurize_target(mol)
+        claimed = set()
+        ring_cache = {}
+        rows = []
+        for rule, query, needs in zip(prov.rules, prov._queries, prov._needs):
+            if not needs <= elements:
+                continue
+            matches, _ = find_matches(query, tf, max_matches=256, uniquify=False)
+            for row in matches:
+                qi, qj, qk, ql = rule.quad
+                i, j, k, l = (int(row[x]) for x in (qi, qj, qk, ql))
+                bond = (min(j, k), max(j, k))
+                if bond in claimed:
+                    continue
+                if bond not in ring_cache:
+                    ring_cache[bond] = prov._ring_class(mol, j, k)
+                if ring_cache[bond] != rule.ring:
+                    continue
+                claimed.add(bond)
+                coeffs = np.zeros(6, np.float32)
+                for kk, f, _phi0 in rule.terms:
+                    coeffs[kk - 1] = f
+                rows.append((bond, tuple(coeffs.tolist())))
+        return dict(rows)
+
+    def test_matches_generic_oracle_on_fixture(self, mols100):
+        prov = ExperimentalTorsionProvider()
+        checked = 0
+        for m in mols100:
+            idx, coeffs, _ = prov(m)
+            fast = {}
+            for r in range(len(idx)):
+                _, j, k, _ = (int(x) for x in idx[r])
+                fast[(min(j, k), max(j, k))] = tuple(
+                    np.asarray(coeffs[r], np.float32).tolist()
+                )
+            oracle = self._call_generic(prov, m)
+            assert fast == oracle, (m.smiles if hasattr(m, "smiles") else m)
+            checked += len(oracle)
+        # the fixture must actually exercise the library
+        assert checked > 100
+
+    def test_matches_generic_oracle_ring_tiers(self, mols100):
+        prov = ExperimentalTorsionProvider(
+            use_small_rings=True, use_macrocycles=True
+        )
+        for m in mols100[:40]:
+            idx, coeffs, _ = prov(m)
+            fast = {}
+            for r in range(len(idx)):
+                _, j, k, _ = (int(x) for x in idx[r])
+                fast[(min(j, k), max(j, k))] = tuple(
+                    np.asarray(coeffs[r], np.float32).tolist()
+                )
+            oracle = self._call_generic(prov, m)
+            assert fast == oracle
