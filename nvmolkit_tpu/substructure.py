@@ -36,7 +36,14 @@ class SubstructSearchConfig:
     ``workerThreads`` sizes the native C++ matcher's thread pool
     (-1/0 = all cores); ``useNativeEngine=False`` forces the Python
     reference engine (also the automatic fallback when the native
-    library cannot be built)."""
+    library cannot be built). ``preprocessingThreads`` and
+    ``executorsPerRunner`` are accepted for reference-config
+    compatibility but are no-ops here: target featurization for the
+    Python/device engines runs on Python ``Mol`` objects (GIL-bound —
+    threads cannot speed it up; build the Mols with
+    ``mols_from_smiles(n_threads=...)`` for threaded C++ parsing), and
+    the native engine featurizes inside its own ``workerThreads``
+    pool."""
 
     batchSize: int = 1024
     workerThreads: int = -1
