@@ -114,14 +114,28 @@ def EmbedMolecules(
     failures: EmbedFailureCounts | None = None,
     torsionProvider=None,
     debugMode: bool = False,
+    output=None,
+    targetGpu: int = -1,
 ) -> Dense3DResult:
     """Generate conformers for every molecule; also appends them to each
     ``Mol``'s conformer list. Returns a Dense3DResult (conf_mask marks
-    successfully embedded conformers)."""
+    successfully embedded conformers).
+
+    ``output`` follows the reference's ``CoordinateOutput``
+    (``nvmolkit/embedMolecules.py:41-53``): the default CONFORMERS
+    appends embedded coordinates to each molecule's conformer list;
+    DEVICE skips the writeback and hands back only the device-resident
+    result (chain it onward with ``positionsFrom=``). ``targetGpu``
+    >= 0 selects that chip when ``hardwareOptions.deviceIds`` is
+    unset."""
+    from nvmolkit_tpu.types import CoordinateOutput as _CO
+
     params = params or EmbedParameters()
     if not params.useRandomCoords:
         raise ValueError("only useRandomCoords=True is supported")
     opts = hardwareOptions or HardwareOptions()
+    if targetGpu >= 0 and not opts.deviceIds:
+        opts = dataclasses.replace(opts, deviceIds=[targetGpu])
     fail = failures if failures is not None else EmbedFailureCounts()
 
     n_mols = len(molecules)
@@ -191,11 +205,14 @@ def EmbedMolecules(
                 for ci in dropped:
                     out_conf_mask[mi, ci] = False
 
-    # writeback to Mol conformer lists
-    for mi, m in enumerate(molecules):
-        for ci in range(confsPerMolecule):
-            if out_conf_mask[mi, ci]:
-                m.add_conformer(out_pos[mi, ci, : m.num_atoms].astype(np.float64))
+    # writeback to Mol conformer lists (skipped under DEVICE output)
+    if output != _CO.DEVICE:
+        for mi, m in enumerate(molecules):
+            for ci in range(confsPerMolecule):
+                if out_conf_mask[mi, ci]:
+                    m.add_conformer(
+                        out_pos[mi, ci, : m.num_atoms].astype(np.float64)
+                    )
 
     return Dense3DResult(
         positions=jnp.asarray(out_pos),

@@ -6,6 +6,8 @@ minimizes every conformer under MMFF94 with batched BFGS.
 """
 from __future__ import annotations
 
+import dataclasses
+
 from nvmolkit_tpu.chem.mol import Mol
 from nvmolkit_tpu.models.mmff import MMFFProperties, make_batched_mmff, mmff_energy_and_grad
 from nvmolkit_tpu.models.optimize import optimize_molecules_confs
@@ -23,6 +25,7 @@ def MMFFOptimizeMoleculesConfs(
     backend: str = "flat",
     output=None,
     positionsFrom=None,
+    targetGpu: int = -1,
 ):
     """Minimize all conformers of all molecules under MMFF94.
 
@@ -44,7 +47,57 @@ def MMFFOptimizeMoleculesConfs(
     ``properties`` may be one MMFFProperties or a per-molecule list
     (reference behavior, ``nvmolkit/mmffOptimization.py:145-196``);
     molecules sharing a properties signature run in one batch.
+
+    ``targetGpu`` mirrors the reference's device-selection knob
+    (``nvmolkit/mmffOptimization.py:46``): >= 0 selects that chip when
+    ``hardwareOptions.deviceIds`` is unset; -1 keeps the default.
+
+    Raises the reference's structured ``ValueError``
+    (``nvmolkit/mmffOptimization.py:101-111``) when inputs are invalid:
+    ``e.args[1]`` is ``{"none": [...], "no_params": [...]}`` with the
+    offending molecule indices (``no_params`` is populated under the
+    RDKit provider, which is where parametrization can fail).
     """
+    from nvmolkit_tpu.types import CoordinateOutput as _CO
+
+    if not molecules:
+        if output == _CO.DEVICE:
+            raise ValueError(
+                "MMFFOptimizeMoleculesConfs(output=DEVICE) requires at "
+                "least one molecule"
+            )
+        return [], None
+
+    none_indices = [i for i, m in enumerate(molecules) if m is None]
+    no_params_indices: list[int] = []
+    if not none_indices:
+        from nvmolkit_tpu.models.mmff.providers import RDKitMMFFProvider, default_provider
+
+        prov = provider or default_provider()
+        if isinstance(prov, RDKitMMFFProvider):
+            from rdkit.Chem import AllChem
+
+            for i, m in enumerate(molecules):
+                rmol = getattr(m, "rdkit_mol", m)
+                if not AllChem.MMFFHasAllMoleculeParams(rmol):
+                    no_params_indices.append(i)
+    if none_indices or no_params_indices:
+        parts = []
+        if none_indices:
+            parts.append(f"None at indices {none_indices}")
+        if no_params_indices:
+            parts.append(f"lacking MMFF atom types at indices {no_params_indices}")
+        raise ValueError(
+            "; ".join(parts),
+            {"none": none_indices, "no_params": no_params_indices},
+        )
+
+    if targetGpu >= 0:
+        hardwareOptions = hardwareOptions or HardwareOptions()
+        if not hardwareOptions.deviceIds:
+            hardwareOptions = dataclasses.replace(
+                hardwareOptions, deviceIds=[targetGpu]
+            )
     if isinstance(properties, list):
         if len(properties) != len(molecules):
             raise ValueError(

@@ -23,6 +23,7 @@ def UFFOptimizeMoleculesConfs(
     backend: str = "flat",
     output=None,
     positionsFrom=None,
+    targetGpu: int = -1,
 ):
     """Minimize all conformers of all molecules under UFF.
 
@@ -31,9 +32,37 @@ def UFFOptimizeMoleculesConfs(
     (0 = converged), ``dense`` a :class:`Dense3DResult` with minimized
     coordinates, energies and convergence flags. ``positionsFrom``
     chains a device-resident Dense3DResult as the coordinate source
-    (see ``MMFFOptimizeMoleculesConfs``).
+    (see ``MMFFOptimizeMoleculesConfs``). ``targetGpu`` >= 0 selects
+    that chip when ``hardwareOptions.deviceIds`` is unset.
+
+    Raises the reference's structured ``ValueError``
+    (``nvmolkit/uffOptimization.py:86-87``): ``e.args[1]`` carries
+    ``{"none": [...], "no_params": [...]}`` molecule indices.
     """
     del nonBondedThreshold  # UFF uses vdwThreshold (reference mirror)
+    import dataclasses
+
+    from nvmolkit_tpu.types import CoordinateOutput as _CO
+
+    if not molecules:
+        if output == _CO.DEVICE:
+            raise ValueError(
+                "UFFOptimizeMoleculesConfs(output=DEVICE) requires at "
+                "least one molecule"
+            )
+        return [], None
+    none_indices = [i for i, m in enumerate(molecules) if m is None]
+    if none_indices:
+        raise ValueError(
+            f"None at indices {none_indices}",
+            {"none": none_indices, "no_params": []},
+        )
+    if targetGpu >= 0:
+        hardwareOptions = hardwareOptions or HardwareOptions()
+        if not hardwareOptions.deviceIds:
+            hardwareOptions = dataclasses.replace(
+                hardwareOptions, deviceIds=[targetGpu]
+            )
 
     def make_batch(mols, max_atoms):
         # vdwThreshold prunes pairs whose combined well distance x_ij

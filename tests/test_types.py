@@ -66,3 +66,58 @@ def test_async_result_torch_and_device():
     host = AsyncResult(np.ones((2, 2), np.float32))
     assert host.device is None
     assert host.torch().shape == (2, 2)
+
+
+class TestReferenceKwargParity:
+    """Round-3: output/targetGpu on embed, structured errors on optimize
+    (reference contracts: nvmolkit/embedMolecules.py:41-53,
+    nvmolkit/mmffOptimization.py:101-111, uffOptimization.py:86-87)."""
+
+    def test_embed_device_output_skips_writeback(self):
+        from nvmolkit_tpu.chem import mol_from_smiles
+        from nvmolkit_tpu.embedMolecules import EmbedMolecules
+        from nvmolkit_tpu.types import CoordinateOutput
+
+        mols = [mol_from_smiles("CCO"), mol_from_smiles("CCC")]
+        res = EmbedMolecules(
+            mols, confsPerMolecule=2, maxIterations=10,
+            output=CoordinateOutput.DEVICE,
+        )
+        assert int(np.asarray(res.conf_mask).sum()) >= 2
+        assert all(len(m.conformers) == 0 for m in mols)
+        # default output still writes back
+        EmbedMolecules(mols, confsPerMolecule=1, maxIterations=10)
+        assert all(len(m.conformers) >= 1 for m in mols)
+
+    def test_embed_target_gpu(self):
+        from nvmolkit_tpu.chem import mol_from_smiles
+        from nvmolkit_tpu.embedMolecules import EmbedMolecules
+
+        m = mol_from_smiles("CCO")
+        res = EmbedMolecules([m], confsPerMolecule=1, maxIterations=10,
+                             targetGpu=0)
+        assert int(np.asarray(res.conf_mask).sum()) == 1
+
+    def test_mmff_structured_value_error(self):
+        import pytest
+
+        from nvmolkit_tpu.chem import mol_from_smiles
+        from nvmolkit_tpu.mmffOptimization import MMFFOptimizeMoleculesConfs
+
+        m = mol_from_smiles("CCO")
+        with pytest.raises(ValueError) as ei:
+            MMFFOptimizeMoleculesConfs([m, None, None])
+        assert ei.value.args[1] == {"none": [1, 2], "no_params": []}
+
+    def test_uff_structured_value_error_and_empty(self):
+        import pytest
+
+        from nvmolkit_tpu.types import CoordinateOutput
+        from nvmolkit_tpu.uffOptimization import UFFOptimizeMoleculesConfs
+
+        with pytest.raises(ValueError) as ei:
+            UFFOptimizeMoleculesConfs([None])
+        assert ei.value.args[1]["none"] == [0]
+        assert UFFOptimizeMoleculesConfs([]) == ([], None)
+        with pytest.raises(ValueError):
+            UFFOptimizeMoleculesConfs([], output=CoordinateOutput.DEVICE)
