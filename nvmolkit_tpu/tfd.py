@@ -25,6 +25,24 @@ def _pairs(n: int) -> np.ndarray:
     ).reshape(-1, 2)
 
 
+def _apply_return_type(res: AsyncResult, return_type: str | None):
+    """Reference output formats (``nvmolkit/tfd.py:114-123``): 'list'
+    (RDKit-style Python list), 'numpy', 'tensor' (torch). None keeps
+    the richer AsyncResult (this framework's default)."""
+    if return_type is None:
+        return res
+    if return_type == "list":
+        return res.numpy().tolist()
+    if return_type == "numpy":
+        return res.numpy()
+    if return_type == "tensor":
+        return res.torch()
+    raise ValueError(
+        f"Invalid return_type {return_type!r}. Must be 'list', 'numpy', "
+        "or 'tensor'."
+    )
+
+
 def GetTFDMatrix(
     mol: Mol,
     useWeights: bool = True,
@@ -32,11 +50,12 @@ def GetTFDMatrix(
     symmRadius: int = 2,
     ignoreColinearBonds: bool = True,
     hardwareOptions=None,
+    return_type: str | None = None,
 ) -> AsyncResult:
     """Condensed TFD matrix over all conformer pairs of one molecule."""
     return GetTFDMatrices(
         [mol], useWeights, maxDev, symmRadius, ignoreColinearBonds,
-        hardwareOptions,
+        hardwareOptions, return_type=return_type,
     )[0]
 
 
@@ -48,6 +67,7 @@ def GetTFDMatrices(
     ignoreColinearBonds: bool = True,
     hardwareOptions=None,
     positionsFrom=None,
+    return_type: str | None = None,
 ) -> list[AsyncResult]:
     """Batched condensed TFD matrices, one per molecule.
 
@@ -171,7 +191,11 @@ def GetTFDMatrices(
     for k, (m, ts) in enumerate(zip(mols, torsion_sets)):
         pairs = _pairs(n_confs[k])
         if ts.n_torsions == 0:
-            out.append(AsyncResult(np.zeros(len(pairs), np.float32)))
+            out.append(
+                _apply_return_type(
+                    AsyncResult(np.zeros(len(pairs), np.float32)), return_type
+                )
+            )
             continue
         if conf_slots is not None:
             sl = conf_slots[k]
@@ -184,5 +208,5 @@ def GetTFDMatrices(
                 [tfd_np[k, pair_of[(int(i), int(j))]] for i, j in pairs],
                 np.float32,
             )
-        out.append(AsyncResult(vals))
+        out.append(_apply_return_type(AsyncResult(vals), return_type))
     return out

@@ -34,6 +34,11 @@ class HardwareOptions:
     batchesPerDevice: int = -1
     deviceIds: list[int] = dataclasses.field(default_factory=list)
     atomBuckets: tuple[int, ...] = (32, 64, 128, 256)
+    # reference spellings accepted as constructor aliases
+    # (``HardwareOptions(batchSize=200, batchesPerGpu=4, gpuIds=[0])``,
+    # ``nvmolkit/types.py:39-90``); canonical fields win when both given
+    batchesPerGpu: dataclasses.InitVar[int | None] = None
+    gpuIds: dataclasses.InitVar["list[int] | None"] = None
 
     _FIELDS = (
         "preprocessingThreads",
@@ -43,7 +48,13 @@ class HardwareOptions:
         "atomBuckets",
     )
 
-    def __post_init__(self) -> None:
+    def __post_init__(
+        self, batchesPerGpu: int | None = None, gpuIds: "list[int] | None" = None
+    ) -> None:
+        if batchesPerGpu is not None and self.batchesPerDevice == -1:
+            self.batchesPerDevice = batchesPerGpu
+        if gpuIds is not None and not self.deviceIds:
+            self.deviceIds = list(gpuIds)
         for name in ("preprocessingThreads", "batchSize", "batchesPerDevice"):
             v = getattr(self, name)
             if not isinstance(v, int) or (v < 1 and v != -1):
@@ -66,7 +77,8 @@ class HardwareOptions:
 
     @classmethod
     def from_dict(cls, d: dict[str, Any]) -> "HardwareOptions":
-        unknown = set(d) - set(cls._FIELDS)
+        aliases = {"batchesPerGpu", "gpuIds"}
+        unknown = set(d) - set(cls._FIELDS) - aliases
         if unknown:
             # Reference rejects unknown keys on JSON round-trip (types.py:111-122).
             raise ValueError(f"Unknown HardwareOptions keys: {sorted(unknown)}")
@@ -81,3 +93,9 @@ class HardwareOptions:
     @classmethod
     def from_json(cls, s: str) -> "HardwareOptions":
         return cls.from_dict(json.loads(s))
+
+
+# Reference-spelling read accessors (assigned post-class so the
+# dataclass InitVar machinery keeps the constructor aliases above).
+HardwareOptions.batchesPerGpu = property(lambda self: self.batchesPerDevice)
+HardwareOptions.gpuIds = property(lambda self: list(self.deviceIds))

@@ -327,3 +327,97 @@ def test_embed_lbfgs_backend():
             [mol_from_smiles("CCO")],
             EmbedParameters(minimizerBackend="nope"),
         )
+
+
+def test_fused_retry_attempt_matches_staged_sequence():
+    """The single-program retry attempt (_fused_retry_attempt) must
+    reproduce the staged sequence (gather -> coordgen -> three
+    minimizations -> checks) given the same PRNG key."""
+    import jax
+    import jax.numpy as jnp
+
+    from nvmolkit_tpu.chem import mol_from_smiles
+    from nvmolkit_tpu.embedMolecules import (
+        _check_embeddings,
+        _fused_retry_attempt,
+    )
+    from nvmolkit_tpu.models.dist_geom import (
+        build_chiral_sets,
+        dg_eg,
+        random_distance_matrices,
+    )
+    from nvmolkit_tpu.chem.bounds import topological_bounds
+    from nvmolkit_tpu.ops.lbfgs_flat import batched_lbfgs_flat_minimize
+    from nvmolkit_tpu.ops.triangle_smooth import triangle_smooth_bounds
+
+    mols = [mol_from_smiles(s) for s in ("CCO", "CCCC", "CCN", "CCOC")]
+    A = 16
+    M = len(mols)
+    ub = np.zeros((M, A, A), np.float32)
+    lb = np.zeros((M, A, A), np.float32)
+    am = np.zeros((M, A), bool)
+    for k, m in enumerate(mols):
+        na = m.num_atoms
+        u, l = topological_bounds(m)
+        ub[k, :na, :na] = u
+        lb[k, :na, :na] = l
+        am[k, :na] = True
+    ub_j, lb_j, cons = triangle_smooth_bounds(
+        jnp.asarray(ub), jnp.asarray(lb), jnp.asarray(am)
+    )
+    assert bool(np.asarray(cons).all())
+    am_j = jnp.asarray(am)
+
+    # minimal check tables: chiral sets only, everything else empty
+    C = 1
+    chk = (
+        jnp.zeros((M, C, 4), jnp.int32), jnp.zeros((M, C), jnp.float32),
+        jnp.zeros((M, C), jnp.float32), jnp.zeros((M, C), bool),
+        jnp.zeros((M, 1, 4), jnp.int32), jnp.zeros((M, 1), bool),
+        jnp.zeros((M, 1, 3), jnp.int32), jnp.zeros((M, 1), bool),
+        jnp.zeros((M, 1, 4), jnp.int32), jnp.zeros((M, 1), jnp.float32),
+        jnp.zeros((M, 1), bool),
+        jnp.zeros((M, 1, 2), jnp.int32), jnp.zeros((M, 1), jnp.float32),
+        jnp.ones((M, 1), jnp.float32), jnp.zeros((M, 1), bool),
+    )
+    del build_chiral_sets  # chiral-free fixture keeps the tables empty
+
+    weights = (
+        jnp.float32(1.0), jnp.float32(0.1), jnp.float32(0.2), jnp.float32(1.0)
+    )
+    scalars = (jnp.float32(0.35), jnp.float32(0.5))
+    iters = (60, 40, 30)
+    sel = jnp.asarray(np.asarray([2, 0, 3, 1], np.int64))
+    key = jax.random.PRNGKey(7)
+
+    fused_pos, fused_oks = _fused_retry_attempt(
+        batched_lbfgs_flat_minimize, key, sel, ub_j, lb_j, am_j, chk, {},
+        weights, scalars, iters, False,
+    )
+
+    # staged reference sequence with identical inputs
+    ub_g, lb_g, am_g = ub_j[sel], lb_j[sel], am_j[sel]
+    tri = jnp.triu(jnp.ones((A, A), bool), 1)[None]
+    pm = am_g[:, :, None] & am_g[:, None, :] & tri
+    chk_g = tuple(x[sel] for x in chk)
+    base = {
+        "ub2": ub_g * ub_g, "lb2": lb_g * lb_g, "pair_mask": pm,
+        "atom_mask": am_g, "chiral_idx": chk_g[0], "chiral_lb": chk_g[1],
+        "chiral_ub": chk_g[2], "chiral_mask": chk_g[3],
+    }
+    coords4 = random_distance_matrices(key, ub_g, lb_g, am_g, n_dims=4)
+    r1 = batched_lbfgs_flat_minimize(
+        dg_eg, coords4, am_g, max_iters=iters[0],
+        energy_args=dict(base, chiral_weight=weights[0], fourth_dim_weight=weights[1]),
+    )
+    r2 = batched_lbfgs_flat_minimize(
+        dg_eg, r1.positions, am_g, max_iters=iters[1],
+        energy_args=dict(base, chiral_weight=weights[2], fourth_dim_weight=weights[3]),
+    )
+    pos3 = r2.positions[..., :3]
+    oks = _check_embeddings(pos3, ub_g, lb_g, pm, *chk_g, *scalars)
+
+    np.testing.assert_allclose(
+        np.asarray(fused_pos), np.asarray(pos3), atol=1e-5
+    )
+    assert (np.asarray(fused_oks) == np.asarray(jnp.stack(oks))).all()

@@ -89,3 +89,42 @@ def test_embed_debug_mode(capsys):
     out = capsys.readouterr().out
     assert "first_minimization" in out
     assert "stereo_checks" in out
+
+
+def test_hardware_options_reference_spellings():
+    """Reference kwarg spellings (nvmolkit/types.py:39-90) construct and
+    read back; canonical fields win when both are given."""
+    from nvmolkit_tpu.utils.config import HardwareOptions
+
+    o = HardwareOptions(batchSize=200, batchesPerGpu=4, gpuIds=[1, 2])
+    assert o.batchesPerDevice == 4 and o.batchesPerGpu == 4
+    assert o.deviceIds == [1, 2] and o.gpuIds == [1, 2]
+    o2 = HardwareOptions(batchesPerDevice=8, batchesPerGpu=4)
+    assert o2.batchesPerDevice == 8
+    o3 = HardwareOptions.from_dict({"batchesPerGpu": 3, "gpuIds": [0]})
+    assert o3.batchesPerDevice == 3 and o3.deviceIds == [0]
+    # round trip stays canonical
+    o4 = HardwareOptions.from_json(o.to_json())
+    assert o4.batchesPerDevice == 4 and o4.deviceIds == [1, 2]
+
+
+def test_tfd_return_type_formats():
+    import numpy as np
+
+    from nvmolkit_tpu.chem import mol_from_smiles
+    from nvmolkit_tpu.embedMolecules import EmbedMolecules
+    from nvmolkit_tpu.tfd import GetTFDMatrix
+
+    m = mol_from_smiles("CCCCO")
+    EmbedMolecules([m], confsPerMolecule=3, maxIterations=10)
+    as_list = GetTFDMatrix(m, return_type="list")
+    as_np = GetTFDMatrix(m, return_type="numpy")
+    as_t = GetTFDMatrix(m, return_type="tensor")
+    assert isinstance(as_list, list)
+    assert isinstance(as_np, np.ndarray)
+    assert type(as_t).__module__.startswith("torch")
+    assert np.allclose(as_list, as_np) and np.allclose(as_np, np.asarray(as_t))
+    import pytest
+
+    with pytest.raises(ValueError):
+        GetTFDMatrix(m, return_type="bogus")
