@@ -92,3 +92,153 @@ class TestDihedralBruteForce:
             want = brute_dihedral(*(conf[a] for a in q))
             diff = abs((float(got[qi]) - want + 180.0) % 360.0 - 180.0)
             assert diff < 0.2, (q, got[qi], want)
+
+
+class TestTriangleSmoothBruteForce:
+    def test_matches_scalar_floyd_warshall(self, rng):
+        """Device batched smoothing vs a scalar Floyd-Warshall oracle on
+        random consistent bounds (distance-geometry smoothing:
+        u_ij <- min(u_ij, u_ik + u_kj); l_ij <- max(l_ij, l_ik - u_kj,
+        l_kj - u_ik))."""
+        import jax.numpy as jnp
+
+        from nvmolkit_tpu.ops.triangle_smooth import triangle_smooth_bounds
+
+        n = 9
+        # random points -> consistent metric bounds with slack
+        pts = rng.normal(size=(n, 3))
+        d = np.sqrt(((pts[:, None] - pts[None]) ** 2).sum(-1))
+        ub = d * (1.0 + 0.5 * rng.random((n, n)))
+        lb = d * (1.0 - 0.5 * rng.random((n, n)))
+        ub = np.maximum(ub, ub.T).astype(np.float32)
+        lb = np.minimum(lb, lb.T).astype(np.float32)
+        np.fill_diagonal(ub, 0.0)
+        np.fill_diagonal(lb, 0.0)
+
+        u = ub.astype(np.float64).copy()
+        low = lb.astype(np.float64).copy()
+        for k in range(n):
+            for i in range(n):
+                for j in range(n):
+                    if i == j:
+                        continue
+                    if u[i, j] > u[i, k] + u[k, j]:
+                        u[i, j] = u[i, k] + u[k, j]
+                    if low[i, j] < low[i, k] - u[k, j]:
+                        low[i, j] = low[i, k] - u[k, j]
+                    if low[i, j] < low[j, k] - u[k, i]:
+                        low[i, j] = low[j, k] - u[k, i]
+
+        mask = np.ones((1, n), bool)
+        ub_d, lb_d, ok = triangle_smooth_bounds(
+            jnp.asarray(ub[None]), jnp.asarray(lb[None]), jnp.asarray(mask)
+        )
+        assert bool(np.asarray(ok)[0])
+        np.testing.assert_allclose(np.asarray(ub_d)[0], u, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(lb_d)[0], low, atol=2e-4)
+
+
+class TestMMFFTotalEnergyBruteForce:
+    def test_batched_energy_matches_scalar_recompute(self, embedded_mols):
+        """Full batched MMFF energy vs a from-the-definitions scalar
+        recompute over the SAME term tables (validates the padded/
+        masked batch machinery end to end, not just each term form)."""
+        import jax.numpy as jnp
+
+        from nvmolkit_tpu.models.mmff import (
+            MMFFProperties,
+            make_batched_mmff,
+            mmff_energy_and_grad,
+        )
+        from nvmolkit_tpu.models.mmff.providers import default_provider
+
+        props = MMFFProperties()
+        prov = default_provider()
+        mols = embedded_mols[:3]
+        A = 32
+        batch = make_batched_mmff(mols, A, props)
+        pos = np.zeros((len(mols), A, 3), np.float32)
+        for k, m in enumerate(mols):
+            pos[k, : m.num_atoms] = m.conformers[0]
+        e_dev, _ = mmff_energy_and_grad(jnp.asarray(pos), batch)
+        e_dev = np.asarray(e_dev)
+
+        def scalar_energy(m, p):
+            t = prov.build_terms(m, props)
+            e = 0.0
+            cs, cb, deg = -2.0, -0.006981317, 180.0 / np.pi
+            for r in range(t.bonds.n_terms):
+                i, j = t.bonds.atoms[r]
+                dr = np.linalg.norm(p[i] - p[j]) - t.bonds.params["r0"][r]
+                kb = t.bonds.params["kb"][r]
+                e += 0.5 * 143.9325 * kb * dr * dr * (
+                    1.0 + cs * dr + (7.0 / 12.0) * cs * cs * dr * dr
+                )
+            for r in range(t.angles.n_terms):
+                i, j, k = t.angles.atoms[r]
+                u, v = p[i] - p[j], p[k] - p[j]
+                cosv = np.clip(
+                    u @ v / (np.linalg.norm(u) * np.linalg.norm(v)), -1, 1
+                )
+                ka = t.angles.params["ka"][r]
+                if t.angles.params["is_linear"][r] > 0.5:
+                    e += 143.9325 * ka * (1.0 + cosv)
+                else:
+                    dt = np.degrees(np.arccos(cosv)) - t.angles.params["theta0"][r]
+                    e += 0.5 * 0.043844 * ka * dt * dt * (1.0 + cb * dt)
+            for r in range(t.stretch_bends.n_terms):
+                i, j, k = t.stretch_bends.atoms[r]
+                u, v = p[i] - p[j], p[k] - p[j]
+                rij, rkj = np.linalg.norm(u), np.linalg.norm(v)
+                cosv = np.clip(u @ v / (rij * rkj), -1, 1)
+                dt = np.degrees(np.arccos(cosv)) - t.stretch_bends.params["theta0"][r]
+                e += 2.51210 * (
+                    t.stretch_bends.params["kba_ijk"][r]
+                    * (rij - t.stretch_bends.params["r0_ij"][r])
+                    + t.stretch_bends.params["kba_kji"][r]
+                    * (rkj - t.stretch_bends.params["r0_kj"][r])
+                ) * dt
+            for r in range(t.oop.n_terms):
+                i, j, k, l = t.oop.atoms[r]
+                rji, rjk, rjl = p[i] - p[j], p[k] - p[j], p[l] - p[j]
+                nv = np.cross(rji, rjk)
+                sin_chi = np.clip(
+                    nv @ rjl / (np.linalg.norm(nv) * np.linalg.norm(rjl)),
+                    -1, 1,
+                )
+                chi = np.degrees(np.arcsin(sin_chi))
+                e += 0.5 * 0.043844 * t.oop.params["koop"][r] * chi * chi
+            for r in range(t.torsions.n_terms):
+                i, j, k, l = t.torsions.atoms[r]
+                b1, b2, b3 = p[j] - p[i], p[k] - p[j], p[l] - p[k]
+                n1, n2 = np.cross(b1, b2), np.cross(b2, b3)
+                c = np.clip(
+                    n1 @ n2 / (np.linalg.norm(n1) * np.linalg.norm(n2)), -1, 1
+                )
+                phi = np.arccos(c)
+                e += 0.5 * (
+                    t.torsions.params["v1"][r] * (1.0 + np.cos(phi))
+                    + t.torsions.params["v2"][r] * (1.0 - np.cos(2 * phi))
+                    + t.torsions.params["v3"][r] * (1.0 + np.cos(3 * phi))
+                )
+            for r in range(t.vdw.n_terms):
+                i, j = t.vdw.atoms[r]
+                rr = max(np.linalg.norm(p[i] - p[j]), 0.1)
+                rstar = t.vdw.params["rstar"][r]
+                eps = t.vdw.params["eps"][r]
+                ratio = 1.07 * rstar / (rr + 0.07 * rstar)
+                e += eps * ratio**7 * (
+                    1.12 * rstar**7 / (rr**7 + 0.12 * rstar**7) - 2.0
+                )
+            for r in range(t.ele.n_terms):
+                i, j = t.ele.atoms[r]
+                rr = max(np.linalg.norm(p[i] - p[j]), 0.1)
+                scale = 0.75 if t.ele.params["is_1_4"][r] > 0.5 else 1.0
+                e += 332.0716 * t.ele.params["qq"][r] * scale / (rr + 0.05)
+            return e
+
+        for k, m in enumerate(mols):
+            ref = scalar_energy(m, np.asarray(m.conformers[0], np.float64))
+            assert abs(e_dev[k] - ref) < max(2e-2, 2e-4 * abs(ref)), (
+                k, e_dev[k], ref
+            )
