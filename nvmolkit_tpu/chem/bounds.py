@@ -41,22 +41,37 @@ def topological_bounds(
     (``src/embedder_utils.cpp:249-256`` setupRelaxedBounds: recompute
     without 1-5 bounds and with vdW scaling): vdW lower floors are
     scaled down and the 1-3 / 1-4 tolerance windows widened, giving the
-    triangle-smoothing pass room on strained topologies."""
+    triangle-smoothing pass room on strained topologies.
+
+    Results cache on the Mol (keyed by ``relaxed``); edit the graph via
+    a fresh Mol or delete ``_bounds_cache``."""
+    cache = getattr(mol, "_bounds_cache", None)
+    if cache is not None and relaxed in cache:
+        return cache[relaxed]
+    out = _topological_bounds_uncached(mol, relaxed)
+    if cache is None:
+        cache = mol._bounds_cache = {}
+    cache[relaxed] = out
+    return out
+
+
+def _topological_bounds_uncached(
+    mol: Mol, relaxed: bool
+) -> tuple[np.ndarray, np.ndarray]:
     n = mol.num_atoms
     upper = np.full((n, n), _BIG, dtype=np.float64)
-    lower = np.zeros((n, n), dtype=np.float64)
 
     params = [uff_atom_type(mol, i) for i in range(n)]
     vdw_scale = 0.7 if relaxed else 1.0
     tol13 = 0.10 if relaxed else 0.04
     lo14, hi14 = (0.88, 1.08) if relaxed else (0.95, 1.02)
 
-    # vdW floors for all pairs
-    for i in range(n):
-        ri = _VDW_RADIUS.get(mol.atoms[i].atomic_num, 1.5)
-        for j in range(i + 1, n):
-            rj = _VDW_RADIUS.get(mol.atoms[j].atomic_num, 1.5)
-            lower[i, j] = lower[j, i] = vdw_scale * 0.9 * (ri + rj) / 1.2
+    # vdW floors for all pairs (vectorized outer sum)
+    radii = np.asarray(
+        [_VDW_RADIUS.get(a.atomic_num, 1.5) for a in mol.atoms], np.float64
+    )
+    lower = vdw_scale * 0.9 * (radii[:, None] + radii[None, :]) / 1.2
+    np.fill_diagonal(lower, 0.0)
 
     # 1-2 from natural bond lengths
     r0 = {}
