@@ -163,11 +163,10 @@ def batch_mmff_terms(
 # Batch-level cache: repeated optimize calls over the SAME molecule
 # list (conformer pipelines re-minimizing a set, throughput loops) skip
 # the numpy padding/packing entirely and reuse the device-resident
-# MMFFBatch. Small bounded FIFO; entries hold strong Mol references so
-# id() keys cannot alias after GC.
-_BATCH_CACHE: dict = {}
-_BATCH_CACHE_ORDER: list = []
-_BATCH_CACHE_MAX = 8
+# MMFFBatch.
+from nvmolkit_tpu.models.terms import BoundedBatchCache
+
+_BATCH_CACHE = BoundedBatchCache()
 
 
 def make_batched_mmff(
@@ -201,7 +200,7 @@ def make_batched_mmff(
     )
     hit = _BATCH_CACHE.get(batch_key)
     if hit is not None:
-        return hit[1]
+        return hit
     terms = []
     for m in mols:
         cache = getattr(m, "_mmff_terms_cache", None)
@@ -210,10 +209,7 @@ def make_batched_mmff(
             m._mmff_terms_cache = cache
         terms.append(cache[1])
     batch = batch_mmff_terms(terms, [m.num_atoms for m in mols], max_atoms, props)
-    _BATCH_CACHE[batch_key] = (list(mols), batch)
-    _BATCH_CACHE_ORDER.append(batch_key)
-    while len(_BATCH_CACHE_ORDER) > _BATCH_CACHE_MAX:
-        _BATCH_CACHE.pop(_BATCH_CACHE_ORDER.pop(0), None)
+    _BATCH_CACHE.put(batch_key, mols, batch)
     return batch
 
 

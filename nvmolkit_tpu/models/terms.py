@@ -126,6 +126,32 @@ def select_slots(positions: jnp.ndarray, idx: jnp.ndarray, onehot: jnp.ndarray):
     )
 
 
+class BoundedBatchCache:
+    """Bounded FIFO cache of fully-batched device term tables.
+
+    Keyed by the identity tuple of a molecule list plus build options
+    (the reference caches per-ROMol contribs, ``bfgs_mmff.cpp:199``;
+    this caches one level up so repeated optimize calls over the same
+    list skip the numpy padding/packing entirely). Entries hold strong
+    Mol references so ``id()`` keys cannot alias after GC.
+    """
+
+    def __init__(self, max_entries: int = 8):
+        self._max = max_entries
+        self._store: dict = {}
+        self._order: list = []
+
+    def get(self, key):
+        hit = self._store.get(key)
+        return None if hit is None else hit[1]
+
+    def put(self, key, mols, batch) -> None:
+        self._store[key] = (list(mols), batch)
+        self._order.append(key)
+        while len(self._order) > self._max:
+            self._store.pop(self._order.pop(0), None)
+
+
 def expand_batch_to_systems(batch, sys2mol: np.ndarray, n_systems: int):
     """Expand a per-unique-molecule force-field batch to per-system.
 

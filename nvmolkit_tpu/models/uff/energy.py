@@ -28,12 +28,17 @@ import numpy as np
 
 from nvmolkit_tpu.chem.mol import Mol
 from nvmolkit_tpu.models.terms import (
+    BoundedBatchCache,
     batch_terms_per_system,
     select_slots,
     slot_onehots_device,
 )
 from nvmolkit_tpu.models.uff.builder import UFFTerms, build_uff_terms
 from nvmolkit_tpu.models.uff.params import uff_atom_type
+
+# batch-level cache for repeated optimize calls over the same list
+# (see models/terms.BoundedBatchCache)
+_BATCH_CACHE = BoundedBatchCache()
 
 _EPS = 1e-10
 
@@ -182,6 +187,10 @@ def make_batched_uff(
     fresh Mol (or deleting ``_uff_terms_cache``).
     """
     del vdw_threshold  # dense nonbonded keeps all pairs (x_ij << any cutoff)
+    batch_key = (tuple(id(m) for m in mols), max_atoms, ignore_interfrag)
+    hit = _BATCH_CACHE.get(batch_key)
+    if hit is not None:
+        return hit
     terms = []
     for m in mols:
         cached = getattr(m, "_uff_terms_cache", None)
@@ -192,7 +201,9 @@ def make_batched_uff(
             )
             m._uff_terms_cache = cached
         terms.append(cached[1])
-    return batch_uff_terms(terms, mols, max_atoms)
+    batch = batch_uff_terms(terms, mols, max_atoms)
+    _BATCH_CACHE.put(batch_key, mols, batch)
+    return batch
 
 
 # Term math runs in [S, 3, T] layout: xyz on the sublane axis, terms on
