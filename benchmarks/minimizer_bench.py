@@ -11,7 +11,6 @@ import numpy as np  # noqa: E402
 
 
 def main(n_mols: int = 512, confs: int = 4, max_iters: int = 200):
-    import jax
     import jax.numpy as jnp
 
     from nvmolkit_tpu.chem.native import mols_from_smiles
@@ -38,13 +37,15 @@ def main(n_mols: int = 512, confs: int = 4, max_iters: int = 200):
     pos0 = jnp.asarray(pos0)
 
     for name, minimize in BACKENDS.items():
+        # sync via scalar fetch: block_until_ready does not synchronize
+        # under the axon tunnel (repo timing rule, ROUND2_NOTES)
         r = minimize(mmff_energy_and_grad, pos0, batch.atom_mask,
                      max_iters=max_iters, energy_args=batch)
-        jax.block_until_ready(r.positions)
+        float(jnp.sum(r.positions))
         t0 = time.perf_counter()
         r = minimize(mmff_energy_and_grad, pos0, batch.atom_mask,
                      max_iters=max_iters, energy_args=batch)
-        jax.block_until_ready(r.positions)
+        float(jnp.sum(r.positions))
         dt = time.perf_counter() - t0
         conv = float(jnp.mean(r.converged.astype(jnp.float32)))
         emit(f"minimize_kernel_{name}", S / dt, "minimizations/sec",
