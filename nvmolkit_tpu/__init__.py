@@ -44,6 +44,16 @@ if not _os.environ.get("NVMOLKIT_TPU_NO_CACHE"):
     except Exception:  # older jax without these options
         pass
 
+# Double-precision mode: the reference runs f64 positions/energies
+# throughout (``src/forcefields/mmff.h:334-341``); the TPU-first default
+# here is f32 (documented same-basin tolerance 1e-1 kcal/mol, see
+# tests/test_f64_validation.py's tolerance table). NVMOLKIT_X64=1 flips
+# the whole package to f64 — positions entering the pipelines keep their
+# dtype, so conformers (stored f64) run in full double precision. Must
+# be set before import; XLA emulates f64 on TPU at a throughput cost.
+if _os.environ.get("NVMOLKIT_X64") == "1":
+    _jax.config.update("jax_enable_x64", True)
+
 from nvmolkit_tpu import chem, ops, parallel, utils  # noqa: F401
 
 __all__ = ["chem", "ops", "parallel", "utils", "__version__"]

@@ -105,19 +105,22 @@ def optimize_molecules_confs(
     max_atoms_all = max(_bucket_for(m.num_atoms, opts.atomBuckets) for m in mols)
     n_mols = len(mols)
 
+    from nvmolkit_tpu.utils.config import working_dtype
+
+    wdt = working_dtype()  # f32 default; f64 under NVMOLKIT_X64=1
     energies = [[0.0] * len(conf_slots[mi]) for mi in range(len(mols))]
     statuses = [[1] * len(conf_slots[mi]) for mi in range(len(mols))]
     slot_to_k = [
         {ci: k for k, ci in enumerate(conf_slots[mi])} for mi in range(len(mols))
     ]
-    out_pos = np.zeros((n_mols, max_confs, max_atoms_all, 3), dtype=np.float32)
+    out_pos = np.zeros((n_mols, max_confs, max_atoms_all, 3), dtype=wdt)
     conf_mask = np.zeros((n_mols, max_confs), dtype=bool)
     atom_mask_out = np.zeros((n_mols, max_atoms_all), dtype=bool)
     for mi, m in enumerate(mols):
         atom_mask_out[mi, : m.num_atoms] = True
         conf_mask[mi, conf_slots[mi]] = True
     converged_out = np.zeros((n_mols, max_confs), dtype=bool)
-    energies_out = np.zeros((n_mols, max_confs), dtype=np.float32)
+    energies_out = np.zeros((n_mols, max_confs), dtype=wdt)
 
     from nvmolkit_tpu.parallel.distributed import distributed_minimize, resolve_devices
 
@@ -174,17 +177,17 @@ def optimize_molecules_confs(
             )
             rows = jnp.asarray(pf.positions)[
                 jnp.asarray(g_mi), jnp.asarray(g_ci)
-            ].astype(jnp.float32)                     # [S+pad, Amax, 3]
+            ].astype(wdt)                             # [S+pad, Amax, 3]
             amax = rows.shape[1]
             if amax >= bucket:
                 pos0 = rows[:, :bucket, :]
             else:
                 pos0 = (
-                    jnp.zeros((S + n_pad, bucket, 3), jnp.float32)
+                    jnp.zeros((S + n_pad, bucket, 3), wdt)
                     .at[:, :amax].set(rows)
                 )
         else:
-            pos0 = np.zeros((S + n_pad, bucket, 3), dtype=np.float32)
+            pos0 = np.zeros((S + n_pad, bucket, 3), dtype=wdt)
             # fill grouped by molecule: one stack + one fancy-index per
             # unique molecule instead of a python slice-copy per system
             k = 0

@@ -99,3 +99,17 @@ class HardwareOptions:
 # dataclass InitVar machinery keeps the constructor aliases above).
 HardwareOptions.batchesPerGpu = property(lambda self: self.batchesPerDevice)
 HardwareOptions.gpuIds = property(lambda self: list(self.deviceIds))
+
+
+def working_dtype():
+    """Position/energy dtype for the batch pipelines.
+
+    f32 by default (TPU-first); numpy float64 when the package runs in
+    double-precision mode (``NVMOLKIT_X64=1`` before import, or
+    ``jax_enable_x64`` flipped by the embedding application) — the
+    reference's precision contract (``src/forcefields/mmff.h:334-341``).
+    """
+    import jax
+    import numpy as np
+
+    return np.float64 if jax.config.jax_enable_x64 else np.float32

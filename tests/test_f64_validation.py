@@ -110,3 +110,40 @@ def test_f32_matches_f64_within_tolerance():
     )
     # converged sets agree except borderline systems
     assert np.mean(np.asarray(r32["conv"]) == np.asarray(r64["conv"])) >= 0.75
+
+
+def test_public_api_x64_mode():
+    """NVMOLKIT_X64=1 runs the public optimize API in double precision
+    end to end (the reference's f64 contract, mmff.h:334-341)."""
+    import json
+    import os
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    prog = r"""
+import json
+import numpy as np
+from nvmolkit_tpu.chem import mol_from_smiles
+from nvmolkit_tpu.embedMolecules import EmbedMolecules
+from nvmolkit_tpu.mmffOptimization import MMFFOptimizeMoleculesConfs
+m = mol_from_smiles("CCO")
+EmbedMolecules([m], confsPerMolecule=1, maxIterations=10)
+results, dense = MMFFOptimizeMoleculesConfs([m], maxIters=150)
+print(json.dumps({
+    "pos_dtype": str(np.asarray(dense.positions).dtype),
+    "e_dtype": str(np.asarray(dense.energies).dtype),
+    "converged": results[0][0][0] == 0,
+}))
+"""
+    env = dict(os.environ, NVMOLKIT_X64="1", JAX_PLATFORMS="cpu")
+    env.pop("XLA_FLAGS", None)
+    proc = subprocess.run(
+        [sys.executable, "-c", prog], capture_output=True, text=True,
+        timeout=600, env=env, cwd=str(Path(__file__).resolve().parents[1]),
+    )
+    line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+    got = json.loads(line)
+    assert got["pos_dtype"] == "float64", (got, proc.stderr[-500:])
+    assert got["e_dtype"] == "float64"
+    assert got["converged"]
