@@ -317,20 +317,29 @@ void perceive_aromaticity(Molecule& m) {
     bool ok = true;
     for (int32_t a : ring) {
       const Atom& atom = m.atoms[a];
-      bool double_in = false, double_exo = false, has_triple = false;
+      // exocyclic double bonds: to O/N/S contribute 0 pi electrons and
+      // keep the ring eligible (the RDKit pyridone/pyranone rule,
+      // mirrored in nvmolkit_tpu/chem/aromaticity.py); to carbon
+      // (fulvene-like) they disqualify the ring
+      bool double_in = false, double_exo_en = false, double_exo_c = false,
+           has_triple = false;
       for (int32_t bi : m.adj[a]) {
         const Bond& b = m.bonds[bi];
         int32_t other = m.other(bi, a);
         if (b.type == DOUBLE || b.type == AROMATIC) {
           if (in_this[other] || m.atoms[other].in_ring) double_in = true;
-          else double_exo = true;
+          else if (m.atoms[other].atomic_num == 7 ||
+                   m.atoms[other].atomic_num == 8 ||
+                   m.atoms[other].atomic_num == 16) double_exo_en = true;
+          else double_exo_c = true;
         } else if (b.type == TRIPLE) {
           has_triple = true;
         }
       }
       if (has_triple) { ok = false; break; }
       if (double_in) pi += 1;
-      else if (double_exo) { ok = false; break; }
+      else if (double_exo_en) { /* 0 electrons, ring stays eligible */ }
+      else if (double_exo_c) { ok = false; break; }
       else if ((atom.atomic_num == 7 || atom.atomic_num == 8 ||
                 atom.atomic_num == 16) && atom.charge == 0) pi += 2;
       else if (atom.atomic_num == 6 && atom.charge == -1) pi += 2;

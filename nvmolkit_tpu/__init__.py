@@ -44,6 +44,20 @@ if not _os.environ.get("NVMOLKIT_TPU_NO_CACHE"):
     except Exception:  # older jax without these options
         pass
 
+# f32 matmuls must be f32-accurate. XLA:TPU's default matmul precision
+# runs float32 dots as SINGLE bf16 MXU passes, which silently rounds
+# both operands to 8 mantissa bits: measured on v5e, the one-hot
+# uint16-payload selections (Morgan hash halves) return ~98% wrong
+# values at MXU-engaged shapes, and position Gram matrices (nonbonded
+# distances, DG bounds, RMSD) pick up 5e-2-scale absolute errors. The
+# CPU backend computes real f32, so the CPU-mesh test suite cannot see
+# this — it surfaced as device-vs-oracle fingerprint mismatches on the
+# real chip. HIGHEST decomposes f32 dots into multiple bf16 passes
+# (f32-equivalent); integer/int8 paths (similarity) are unaffected.
+# NVMOLKIT_FAST_MATMUL=1 restores the fast-and-loose default.
+if _os.environ.get("NVMOLKIT_FAST_MATMUL") != "1":
+    _jax.config.update("jax_default_matmul_precision", "highest")
+
 # Double-precision mode: the reference runs f64 positions/energies
 # throughout (``src/forcefields/mmff.h:334-341``); the TPU-first default
 # here is f32 (documented same-basin tolerance 1e-1 kcal/mol, see

@@ -7,8 +7,14 @@ count per ring:
 
   * atom with a double bond to another ring atom        -> 1 pi electron
   * N/O/S (uncharged) with only single bonds in-ring    -> 2 (lone pair)
-  * exocyclic double bond to a non-ring atom (C=O) or
+  * exocyclic double bond to an electronegative atom
+    (O/N/S — the RDKit model's pyridone/pyranone rule)  -> 0 pi electrons
+  * exocyclic double bond to carbon (fulvene-like) or
     sp3 center                                          -> ring not aromatic
+
+The 0-electron rule makes 2-pyridone aromatic from either input form
+while keeping quinone (two such carbons + 4 pi) non-aromatic, matching
+RDKit's default sanitization.
 
 Total H counts are preserved from the Kekulé valences (pyrrole's N-H
 survives aromatization).
@@ -64,21 +70,26 @@ def _ring_is_aromatic(mol: Mol, ring: list[int]) -> bool:
     for a in ring:
         atom = mol.atoms[a]
         double_in_ring = False
-        double_exo = False
+        double_exo_en = False   # exocyclic double bond to O/N/S
+        double_exo_c = False    # exocyclic double bond to carbon
         for bi in mol.atom_bonds(a):
             b = mol.bonds[bi]
             if b.bond_type in (BondType.DOUBLE, BondType.AROMATIC):
                 other = b.other(a)
                 if other in ring_set or mol.atoms[other].in_ring:
                     double_in_ring = True
+                elif mol.atoms[other].atomic_num in (7, 8, 16):
+                    double_exo_en = True
                 else:
-                    double_exo = True
+                    double_exo_c = True
             elif b.bond_type == BondType.TRIPLE:
                 return False
         if double_in_ring:
             pi += 1
-        elif double_exo:
-            return False  # quinone-like sp2 with exocyclic pi
+        elif double_exo_en:
+            pi += 0  # carbonyl-like: contributes no electrons, stays eligible
+        elif double_exo_c:
+            return False  # fulvene-like exocyclic C=C
         elif atom.atomic_num in (7, 8, 16) and atom.formal_charge == 0:
             pi += 2  # heteroatom lone pair
         elif atom.atomic_num == 6 and atom.formal_charge == -1:

@@ -8,6 +8,11 @@ unconverged systems into a pow2-padded sub-batch, and finish only
 those. Median-converging systems stop paying for the stragglers'
 iterations — on embedded drug-like batches this is a ~2-2.5x
 throughput win.
+
+The phase-1 budget default (96 outer iterations) was re-tuned after
+the f32-matmul precision fix: under exact arithmetic 96 gives both
+the best converged fraction and near-best throughput (24 was fastest
+only when bf16-rounded math let noise-floor exits fire early).
 """
 from __future__ import annotations
 
@@ -51,7 +56,7 @@ def minimize_compacting_start(
     max_iters: int = 200,
     grad_tol: float = 1e-4,
     backend: str = "flat",
-    phase1_iters: int = 24,
+    phase1_iters: int = 96,
 ):
     """Dispatch phase 1 without blocking; returns a finish() thunk.
 
@@ -94,7 +99,7 @@ def minimize_compacting(
     max_iters: int = 200,
     grad_tol: float = 1e-4,
     backend: str = "flat",
-    phase1_iters: int = 24,
+    phase1_iters: int = 96,
 ) -> BfgsResult:
     return minimize_compacting_start(
         energy_and_grad_fn, positions, atom_mask, batch,

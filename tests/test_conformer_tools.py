@@ -46,7 +46,11 @@ def test_rmsd_prealigned_differs(butane_confs):
     assert plain[0] > aligned[0] + 1.0  # translation not removed
 
 
-def test_rmsd_batch_matches_single(butane_confs, rng):
+def test_rmsd_batch_matches_single(butane_confs):
+    # own seeded generator: drawing from the shared session rng makes
+    # this test's geometry depend on how much earlier tests consumed
+    # (a near-degenerate 3-point cloud trips Kabsch's f32 tolerance)
+    rng = np.random.default_rng(1234)
     m2 = mol_from_smiles("CCO")
     c = rng.random((3, 3))
     m2.add_conformer(c)
