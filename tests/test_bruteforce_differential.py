@@ -138,6 +138,68 @@ class TestTriangleSmoothBruteForce:
         np.testing.assert_allclose(np.asarray(lb_d)[0], low, atol=2e-4)
 
 
+class TestTFDMatrixBruteForce:
+    def test_full_matrix_matches_scalar_recompute(self, embedded_mols):
+        """End-to-end TFD matrix vs a scalar f64 recompute of the
+        dihedral + per-type combination (Single / Ring-avg / Symmetric-
+        min) + weighting math over the same TorsionSet. Enumeration
+        parity is covered separately (test_conformer_tools); this pins
+        the batched device kernel's math."""
+        from nvmolkit_tpu.ops.tfd import (
+            TORSION_RING,
+            TORSION_SYMMETRIC,
+            enumerate_torsions,
+        )
+        from nvmolkit_tpu.tfd import GetTFDMatrix
+
+        checked = 0
+        for m in embedded_mols:
+            ts = enumerate_torsions(m)
+            if ts.n_torsions == 0:
+                continue
+            got = GetTFDMatrix(m).numpy()
+            confs = [
+                np.asarray(c[: m.num_atoms], np.float64) for c in m.conformers
+            ]
+
+            def torsion_devs(ca, cb):
+                devs = []
+                for t in range(ts.n_torsions):
+                    qs = ts.quartets[
+                        ts.quartet_starts[t]: ts.quartet_starts[t + 1]
+                    ]
+                    aa = [brute_dihedral(*(ca[x] for x in q)) for q in qs]
+                    bb = [brute_dihedral(*(cb[x] for x in q)) for q in qs]
+
+                    def circ(x, y):
+                        d = abs(x - y)
+                        return min(d, 360.0 - d)
+
+                    if ts.types[t] == TORSION_RING:
+                        dev = abs(
+                            np.mean([abs(x - 180.0) for x in aa])
+                            - np.mean([abs(x - 180.0) for x in bb])
+                        )
+                    elif ts.types[t] == TORSION_SYMMETRIC:
+                        dev = min(circ(x, y) for x in aa for y in bb)
+                    else:
+                        dev = circ(aa[0], bb[0])
+                    devs.append(dev / max(float(ts.max_dev[t]), 1e-6))
+                return np.asarray(devs)
+
+            k = 0
+            for i in range(1, len(confs)):
+                for j in range(i):
+                    devs = torsion_devs(confs[i], confs[j])
+                    w = ts.weights.astype(np.float64)
+                    want = float((devs * w).sum() / w.sum())
+                    assert got[k] == pytest.approx(want, abs=2e-3), (i, j)
+                    k += 1
+                    checked += 1
+            assert k == len(got)
+        assert checked > 0
+
+
 class TestMMFFTotalEnergyBruteForce:
     def test_batched_energy_matches_scalar_recompute(self, embedded_mols):
         """Full batched MMFF energy vs a from-the-definitions scalar
