@@ -326,11 +326,45 @@ def _embed_bucket(
             sdb_sign[k, q] = -1.0 if s.is_cis else 1.0
             sdb_mask[k, q] = True
 
+    # optional ETK 3-D refinement stage (etkdg_stage_etk_minimization
+    # role) — provider resolved BEFORE the smoothing dispatch so the
+    # host term build below can overlap the smoothing device program
+    use_etk = params.useBasicKnowledge or params.useExpTorsionAnglePrefs
+    tp = None
+    if use_etk:
+        from nvmolkit_tpu.models.etk import build_etk_terms, etk_eg, pad_etk_batch
+
+        if params.useExpTorsionAnglePrefs:
+            if torsion_provider is None:
+                from nvmolkit_tpu.models.etkdg_torsions import (
+                    ExperimentalTorsionProvider,
+                    default_torsion_provider,
+                )
+
+                if params.useSmallRingTorsions or params.useMacrocycleTorsions:
+                    tp = ExperimentalTorsionProvider(
+                        use_small_rings=params.useSmallRingTorsions,
+                        use_macrocycles=params.useMacrocycleTorsions,
+                    )
+                else:
+                    tp = default_torsion_provider()
+            else:
+                tp = torsion_provider
+
     # device: triangle smoothing once per unique molecule
     with stage("triangle_smoothing"):
         ub_j, lb_j, consistent = triangle_smooth_bounds(
             jnp.asarray(upper), jnp.asarray(lower), jnp.asarray(atom_mask)
         )
+    if use_etk:
+        # Host ETK term build (per-molecule torsion matching, the
+        # biggest host-side cost at ~1.5 ms/mol) overlapped with the
+        # smoothing program the host would otherwise just block on.
+        # Results cache on each Mol, so the later _etk_resolved() pad +
+        # device put is all that remains before the ETK stage dispatch.
+        with stage("etk_term_build"):
+            for mi in mol_ids:
+                build_etk_terms(molecules[mi], tp)
     consistent = np.asarray(consistent)
 
     # relaxed-bounds retry for smoothing failures: the reference
@@ -462,35 +496,11 @@ def _embed_bucket(
         fourth_dim_weight=jnp.float32(params.fourthDimWeightSecond),
     )
 
-    # optional ETK 3-D refinement stage (etkdg_stage_etk_minimization role)
-    use_etk = params.useBasicKnowledge or params.useExpTorsionAnglePrefs
     if use_etk:
-        from nvmolkit_tpu.models.etk import build_etk_terms, etk_eg, pad_etk_batch
-
-        if params.useExpTorsionAnglePrefs:
-            if torsion_provider is None:
-                from nvmolkit_tpu.models.etkdg_torsions import (
-                    ExperimentalTorsionProvider,
-                    default_torsion_provider,
-                )
-
-                if params.useSmallRingTorsions or params.useMacrocycleTorsions:
-                    tp = ExperimentalTorsionProvider(
-                        use_small_rings=params.useSmallRingTorsions,
-                        use_macrocycles=params.useMacrocycleTorsions,
-                    )
-                else:
-                    tp = default_torsion_provider()
-            else:
-                tp = torsion_provider
-        else:
-            tp = None
-
-        # Lazy ETK term build: the per-molecule torsion matching is the
-        # biggest host-side cost (~2-3 ms/molecule). Resolving it only
-        # when the first ETK stage is about to dispatch lets it overlap
-        # attempt 1's DG + fourth-dim minimizations, which are already
-        # running on device by then (XLA async dispatch).
+        # Pad + device-put of the (already host-built, Mol-cached) ETK
+        # terms, resolved only when the first ETK stage is about to
+        # dispatch so it overlaps attempt 1's DG + fourth-dim
+        # minimizations (XLA async dispatch).
         _etk_state: dict = {}
 
         def _etk_resolved():
