@@ -269,3 +269,46 @@ class TestETKEnergyBruteForce:
                 assert abs(g[a, d] - fd) < max(5e-2, 5e-2 * abs(fd)), (
                     a, d, g[a, d], fd
                 )
+
+
+# ---------------------------------------------------------------------------
+# Coordinate generation (metric-matrix projection)
+# ---------------------------------------------------------------------------
+
+class TestCoordGenProjection:
+    def test_exact_bounds_recover_geometry(self, rng):
+        """Classical-MDS exactness: with upper == lower == the true
+        distance matrix of a 3-D point set, the double-centering + eigh
+        projection must reproduce every pairwise distance (up to rigid
+        motion), including under row padding."""
+        import jax
+        from nvmolkit_tpu.models.dist_geom import random_distance_matrices
+
+        S, A = 2, 12
+        n_real = [12, 9]
+        d_true = np.zeros((S, A, A), np.float32)
+        mask = np.zeros((S, A), bool)
+        pts_all = []
+        for s in range(S):
+            n = n_real[s]
+            pts = rng.normal(size=(n, 3)) * 2.0
+            pts_all.append(pts)
+            d = np.sqrt(((pts[:, None] - pts[None]) ** 2).sum(-1))
+            d_true[s, :n, :n] = d
+            mask[s, :n] = True
+
+        coords = np.asarray(
+            random_distance_matrices(
+                jax.random.PRNGKey(0), jnp.asarray(d_true),
+                jnp.asarray(d_true), jnp.asarray(mask), n_dims=3,
+            )
+        )
+        for s in range(S):
+            n = n_real[s]
+            c = coords[s, :n].astype(np.float64)
+            d_got = np.sqrt(((c[:, None] - c[None]) ** 2).sum(-1))
+            np.testing.assert_allclose(
+                d_got, d_true[s, :n, :n], atol=5e-3, rtol=5e-3
+            )
+            # padding rows stay zeroed
+            assert np.all(coords[s, n:] == 0.0)
