@@ -41,6 +41,18 @@ def main(n_mols: int = 10000, cutoff: float = 0.6, mode: str = "both"):
         emit("butina_fused", n_mols / t.elapsed, "mols/sec", n=n_mols,
              clusters=len(clusters))
 
+    if mode == "cpu":
+        # host scalar reference (the vs-RDKit comparison mode of the
+        # reference's harness, butina_clustering_bench.py mode=rdkit):
+        # same hit matrix, numpy implementation
+        from nvmolkit_tpu.ops.butina import butina_cpu
+
+        hits = np.asarray(1.0 - cross_similarity(fps, fps)) <= cutoff
+        with Timer() as t:
+            ids, _, n_clusters = butina_cpu(hits)
+        emit("butina_cpu_reference", n_mols / t.elapsed, "mols/sec",
+             n=n_mols, clusters=int(n_clusters))
+
 
 if __name__ == "__main__":
     args = sys.argv[1:]
