@@ -611,10 +611,11 @@ def _embed_bucket(
                 )
             oks = list(np.asarray(oks_arr))
         elif not multi:
-            # Full-batch attempt in TWO launches: the DG stages dispatch
-            # first so the (host-side) experimental-torsion term build
-            # overlaps their device time; the ETK stage + checks then go
-            # up as one program.
+            # Full-batch attempt in TWO launches: the ETK terms were
+            # already built during triangle smoothing (see the
+            # etk_term_build stage above), so the DG-stage dispatch here
+            # overlaps only the ETK pad + device_put of those Mol-cached
+            # terms; the ETK stage + checks then go up as one program.
             key, k_att = jax.random.split(key)
             with stage("dg_stages"):
                 pos3 = _fused_dg_stages(

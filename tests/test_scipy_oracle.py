@@ -74,10 +74,15 @@ class TestScipyMinimizerOracle:
             e_scipy = _scipy_minimize(e_of_flat, pos0.ravel().astype(np.float64))
             e_start = e_of_flat(pos0.ravel().astype(np.float64))[0]
             assert e_repo < e_start, "minimizer did not descend"
-            # same-basin contract: f32 energies, 1e-1 kcal/mol documented
-            # tolerance (ROUND2_NOTES f32-vs-f64 discussion) + line-search
-            # differences -> allow 0.5 kcal/mol, both directions
+            # Asymmetric on purpose: never materially WORSE than scipy
+            # (0.5 kcal/mol covers the f32 contract + line-search
+            # differences), but landing below scipy is legitimate — the
+            # NR line search can hop to a deeper basin L-BFGS-B stops
+            # short of (observed: 1.9 kcal/mol below on one fixture).
+            # The lower bound is only a sanity net against a broken
+            # energy function reporting absurdly low values.
             assert e_repo <= e_scipy + 0.5, (e_repo, e_scipy)
+            assert e_repo >= e_scipy - 25.0, (e_repo, e_scipy)
 
     def test_uff_reaches_scipy_basin_energy(self, embedded_pair):
         from nvmolkit_tpu.models.uff import make_batched_uff
