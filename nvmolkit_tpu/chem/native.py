@@ -69,6 +69,53 @@ def native_available() -> bool:
     return _load() is not None
 
 
+_ETK_LIB_PATH = _CSRC / "libnvmoletk.so"
+_etk_lib = None
+_etk_load_error: str | None = None
+
+
+def load_etk_lib():
+    """ctypes handle for the native ETK torsion-library matcher
+    (``csrc/etk_match.cpp``), or None when the toolchain is absent."""
+    global _etk_lib, _etk_load_error
+    if _etk_lib is not None or _etk_load_error is not None:
+        return _etk_lib
+    try:
+        if not _ETK_LIB_PATH.exists() or (
+            _ETK_LIB_PATH.stat().st_mtime
+            < (_CSRC / "etk_match.cpp").stat().st_mtime
+        ):
+            subprocess.run(
+                ["make", "-C", str(_CSRC), "libnvmoletk.so"],
+                check=True, capture_output=True,
+            )
+        lib = ctypes.CDLL(str(_ETK_LIB_PATH))
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        u16p = ctypes.POINTER(ctypes.c_uint16)
+        u64p = ctypes.POINTER(ctypes.c_uint64)
+        lib.nvmk_etk_compile.restype = ctypes.c_void_p
+        lib.nvmk_etk_compile.argtypes = [
+            ctypes.c_int32, ctypes.c_int32, i32p, i32p,      # props, exprs
+            ctypes.c_int32, u16p,                             # bond masks
+            ctypes.c_int32, i32p, u64p,                       # rules
+            i32p, i32p, i32p, i32p, i32p, i32p,               # aeids/steps/clos
+        ]
+        lib.nvmk_etk_free.argtypes = [ctypes.c_void_p]
+        lib.nvmk_etk_match_batch.restype = ctypes.c_int64
+        lib.nvmk_etk_match_batch.argtypes = [
+            ctypes.c_void_p, ctypes.c_int32, i32p, i64p, i32p,
+            i32p, i64p, i32p, u8p, u64p,
+            ctypes.c_int32, ctypes.c_int64, i32p, i32p, i32p,
+        ]
+        _etk_lib = lib
+    except Exception as e:
+        _etk_load_error = str(e)
+        _etk_lib = None
+    return _etk_lib
+
+
 def mols_from_smiles_native(
     smiles: list[str], n_threads: int = 0, strict: bool = True
 ) -> list[Mol | None]:

@@ -363,6 +363,11 @@ def _embed_bucket(
         # Results cache on each Mol, so the later _etk_resolved() pad +
         # device put is all that remains before the ETK stage dispatch.
         with stage("etk_term_build"):
+            if tp is not None and hasattr(tp, "precompute"):
+                # native (C++) batch matcher: one ctypes call matches the
+                # whole torsion library over every molecule; the per-mol
+                # loop below then only assembles cached claims
+                tp.precompute([molecules[mi] for mi in mol_ids])
             for mi in mol_ids:
                 build_etk_terms(molecules[mi], tp)
     consistent = np.asarray(consistent)

@@ -514,6 +514,227 @@ class ExperimentalTorsionProvider:
                 None if plan is None else plan.atom_expr_ids[plan.pk],
                 ring_code[rule.ring],
             ))
+        # per-rule coefficient/phase rows (claim() layout) for the
+        # native batch matcher's rule-id -> parameters mapping
+        self._rule_coeffs = np.zeros((len(self.rules), 6), np.float32)
+        self._rule_phase = np.zeros((len(self.rules), 6), np.float32)
+        for r, rule in enumerate(self.rules):
+            for kk, f, phi0 in rule.terms:
+                self._rule_coeffs[r, kk - 1] = f
+                self._rule_phase[r, kk - 1] = math.radians(phi0)
+        self._native = None
+        self._native_blob = self._compile_native_blob()
+
+    # -- native (C++) batch matcher -------------------------------------
+    # csrc/etk_match.cpp executes the same rotor-anchored plans over a
+    # whole molecule batch in one ctypes call (the reference runs its
+    # torsion-library preprocessing in the OpenMP CPU stage,
+    # src/etkdg.cpp:172-190); the Python matcher below stays as the
+    # differential oracle (tests/test_torsion_library.py).
+
+    def _compile_native_blob(self):
+        """Flat-array compilation of the library for the C++ executor;
+        None when a rule cannot run natively (plan-less quad anchors or
+        recursive-SMARTS leaves — neither occurs in the embedded
+        libraries)."""
+        from nvmolkit_tpu.chem.smarts import AND, LEAF, NOT, OR
+        from nvmolkit_tpu.ops.substruct_device import _bond_code_mask
+
+        if any(p is None for p in self._plans):
+            return None
+        prop_ids: dict[str, int] = {}
+        prog: list[tuple[int, int, int]] = []
+        off = [0]
+
+        def emit(e) -> bool:
+            if e.kind == LEAF:
+                if e.prop == "true":
+                    prog.append((1, 0, 0))
+                    return True
+                if e.prop == "recursive":
+                    return False
+                pid = prop_ids.setdefault(e.prop, len(prop_ids))
+                prog.append((0, pid, int(e.value)))
+                return True
+            if e.kind == NOT:
+                if not emit(e.children[0]):
+                    return False
+                prog.append((2, 0, 0))
+                return True
+            op = 3 if e.kind == AND else 4
+            if not emit(e.children[0]):
+                return False
+            for c in e.children[1:]:
+                if not emit(c):
+                    return False
+                prog.append((op, 0, 0))
+            return True
+
+        for e in self._atom_exprs:
+            if not emit(e):
+                return None
+            off.append(len(prog))
+        bond_masks = np.asarray(
+            [_bond_code_mask(b) for b in self._bond_exprs], np.uint16
+        )
+        n_rules = len(self.rules)
+        rule_tab = np.zeros((n_rules, 9), np.int32)
+        elem_masks = np.zeros(n_rules, np.uint64)
+        aeids: list[int] = []
+        aeid_off = [0]
+        steps: list[tuple[int, int, int]] = []
+        step_off = [0]
+        clos: list[tuple[int, int, int]] = []
+        clo_off = [0]
+        for r, (mask, plan, rule, _q, _ej, _ek, rcode) in enumerate(
+            self._rule_exec
+        ):
+            rule_tab[r, 0:4] = rule.quad
+            rule_tab[r, 4] = rcode
+            rule_tab[r, 5] = plan.pj
+            rule_tab[r, 6] = plan.pk
+            rule_tab[r, 7] = plan.central_bond_id
+            rule_tab[r, 8] = len(plan.atom_expr_ids)
+            elem_masks[r] = np.uint64(mask)
+            aeids.extend(plan.atom_expr_ids)
+            aeid_off.append(len(aeids))
+            steps.extend(plan.steps)
+            step_off.append(len(steps))
+            clos.extend(plan.closures)
+            clo_off.append(len(clos))
+        return dict(
+            props=list(prop_ids),
+            expr_prog=np.asarray(prog, np.int32).reshape(-1, 3),
+            expr_off=np.asarray(off, np.int32),
+            bond_masks=bond_masks,
+            rule_tab=rule_tab,
+            elem_masks=elem_masks,
+            aeids=np.asarray(aeids, np.int32),
+            aeid_off=np.asarray(aeid_off, np.int32),
+            steps=np.asarray(steps, np.int32).reshape(-1, 3),
+            step_off=np.asarray(step_off, np.int32),
+            clos=np.asarray(clos, np.int32).reshape(-1, 3),
+            clo_off=np.asarray(clo_off, np.int32),
+        )
+
+    def _native_handle(self):
+        if self._native is not None:
+            return self._native
+        if self._native_blob is None:
+            return None
+        from nvmolkit_tpu.chem.native import load_etk_lib
+
+        lib = load_etk_lib()
+        if lib is None:
+            self._native_blob = None
+            return None
+        import ctypes
+
+        b = self._native_blob
+        pi = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+        h = lib.nvmk_etk_compile(
+            len(b["props"]), len(b["expr_off"]) - 1,
+            pi(b["expr_prog"]), pi(b["expr_off"]),
+            len(b["bond_masks"]),
+            b["bond_masks"].ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+            len(self.rules), pi(b["rule_tab"]),
+            b["elem_masks"].ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            pi(b["aeids"]), pi(b["aeid_off"]),
+            pi(b["steps"]), pi(b["step_off"]),
+            pi(b["clos"]), pi(b["clo_off"]),
+        )
+        if not h:
+            self._native_blob = None
+            return None
+        self._native = (lib, h)
+        return self._native
+
+    def precompute(self, mols) -> bool:
+        """Batch-match the library over ``mols`` with the native matcher,
+        caching per-molecule results (consumed by ``__call__``). Returns
+        False (no-op) when the native path is unavailable — callers just
+        fall through to the per-molecule Python matcher."""
+        native = self._native_handle()
+        if native is None:
+            return False
+        import ctypes
+
+        from nvmolkit_tpu.ops.substruct import featurize_target
+
+        lib, handle = native
+        todo = [m for m in mols
+                if getattr(m, "_etk_match_cache", (None,))[0] is not self]
+        if not todo:
+            return True
+        props = self._native_blob["props"]
+        bool_props = {"in_ring", "is_aromatic"}
+        feat_parts, na_list, nb_list = [], [], []
+        bond_atom_parts, bond_code_parts, emask_list = [], [], []
+        for m in todo:
+            tf = featurize_target(m, need_ring_count=self._need_ring_count)
+            cols = []
+            for p in props:
+                col = np.asarray(tf.feats[p], np.int32)
+                if p in bool_props:
+                    col = (col != 0).astype(np.int32)
+                cols.append(col)
+            feat_parts.append(
+                np.stack(cols, axis=1) if cols
+                else np.zeros((tf.n_atoms, 0), np.int32)
+            )
+            na_list.append(tf.n_atoms)
+            nb = len(m.bonds)
+            nb_list.append(nb)
+            ba = np.zeros((nb, 2), np.int32)
+            bc = np.zeros(nb, np.uint8)
+            for bi, bd in enumerate(m.bonds):
+                ba[bi, 0], ba[bi, 1] = bd.begin, bd.end
+                bc[bi] = int(bd.bond_type) + (8 if bd.in_ring else 0)
+            bond_atom_parts.append(ba)
+            bond_code_parts.append(bc)
+            z = np.minimum(np.asarray(tf.feats["atomic_num"], np.int64), 63)
+            emask_list.append(
+                np.bitwise_or.reduce(np.uint64(1) << z.astype(np.uint64))
+                if len(z) else np.uint64(0)
+            )
+        n_atoms = np.asarray(na_list, np.int32)
+        atom_off = np.zeros(len(todo), np.int64)
+        atom_off[1:] = np.cumsum(n_atoms[:-1])
+        n_bonds = np.asarray(nb_list, np.int32)
+        bond_off = np.zeros(len(todo), np.int64)
+        bond_off[1:] = np.cumsum(n_bonds[:-1])
+        feats = (np.concatenate(feat_parts, axis=0) if feat_parts
+                 else np.zeros((0, len(props)), np.int32))
+        bond_atoms = (np.concatenate(bond_atom_parts, axis=0)
+                      if bond_atom_parts else np.zeros((0, 2), np.int32))
+        bond_code = (np.concatenate(bond_code_parts)
+                     if bond_code_parts else np.zeros(0, np.uint8))
+        emasks = np.asarray(emask_list, np.uint64)
+        max_out = max(1, int(n_bonds.sum()))
+        out_mol = np.zeros(max_out, np.int32)
+        out_rule = np.zeros(max_out, np.int32)
+        out_quad = np.zeros((max_out, 4), np.int32)
+        pi = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+        p64 = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+        n = lib.nvmk_etk_match_batch(
+            handle, len(todo), pi(n_atoms), p64(atom_off), pi(feats),
+            pi(n_bonds), p64(bond_off), pi(bond_atoms),
+            bond_code.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            emasks.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            int(self.macrocycle_min_size), max_out,
+            pi(out_mol), pi(out_rule), pi(out_quad),
+        )
+        if n < 0:  # output capacity bug guard; fall back to Python
+            return False
+        starts = np.searchsorted(out_mol[:n], np.arange(len(todo) + 1))
+        for k, m in enumerate(todo):
+            s, e = int(starts[k]), int(starts[k + 1])
+            m._etk_match_cache = (self, (
+                out_quad[s:e].copy(),
+                self._rule_coeffs[out_rule[s:e]],
+                self._rule_phase[out_rule[s:e]],
+            ))
+        return True
 
     def _ring_class(self, mol: Mol, j: int, k: int) -> str | None:
         """'acyclic' | 'small' | 'macro' | None (bond missing)."""
@@ -566,6 +787,9 @@ class ExperimentalTorsionProvider:
         return mapping if extend(0) else None
 
     def __call__(self, mol: Mol):
+        cached = getattr(mol, "_etk_match_cache", None)
+        if cached is not None and cached[0] is self:
+            return cached[1]
         from nvmolkit_tpu.ops.substruct import (
             _bond_ok_matrix,
             _eval_expr,

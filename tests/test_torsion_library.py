@@ -253,3 +253,47 @@ class TestAnchoredMatcherDifferential:
                 )
             oracle = self._call_generic(prov, m)
             assert fast == oracle
+
+
+class TestNativeMatcher:
+    """csrc/etk_match.cpp vs the Python rotor-anchored matcher (which is
+    itself differential-tested against the generic subgraph oracle
+    above): identical claims, coefficients, and phases per molecule."""
+
+    def test_native_matches_python(self, smiles100):
+        from nvmolkit_tpu.chem.native import load_etk_lib, mols_from_smiles
+
+        if load_etk_lib() is None:
+            pytest.skip("native toolchain unavailable")
+        prov = ExperimentalTorsionProvider()
+        assert prov._native_blob is not None, "embedded library must compile"
+        mols_native = mols_from_smiles(smiles100)
+        mols_py = mols_from_smiles(smiles100)
+        assert prov.precompute(mols_native)
+        n_claims = 0
+        for ma, mb in zip(mols_native, mols_py):
+            ia, ca, pa = prov(ma)   # cached native result
+            assert getattr(mb, "_etk_match_cache", None) is None
+            ib, cb, pb = prov(mb)   # fresh python match
+            np.testing.assert_array_equal(ia, ib)
+            np.testing.assert_allclose(ca, cb)
+            np.testing.assert_allclose(pa, pb)
+            n_claims += len(ia)
+        assert n_claims > 100  # fixture must exercise the library
+
+    def test_native_matches_python_ring_tiers(self, smiles100):
+        from nvmolkit_tpu.chem.native import load_etk_lib, mols_from_smiles
+
+        if load_etk_lib() is None:
+            pytest.skip("native toolchain unavailable")
+        prov = ExperimentalTorsionProvider(
+            use_small_rings=True, use_macrocycles=True
+        )
+        mols_native = mols_from_smiles(smiles100[:40])
+        mols_py = mols_from_smiles(smiles100[:40])
+        assert prov.precompute(mols_native)
+        for ma, mb in zip(mols_native, mols_py):
+            ia, ca, _ = prov(ma)
+            ib, cb, _ = prov(mb)
+            np.testing.assert_array_equal(ia, ib)
+            np.testing.assert_allclose(ca, cb)
