@@ -92,38 +92,58 @@ def slot_onehots(idx: np.ndarray, max_atoms: int) -> np.ndarray:
 @partial(jax.jit, static_argnames=("max_atoms",))
 def slot_onehots_device(idx: jnp.ndarray, max_atoms: int) -> jnp.ndarray:
     """Device-side :func:`slot_onehots`: idx [S, Tmax, arity] int32 ->
-    [arity, S, Tmax, A] bfloat16 (exact: entries are 0/1).
+    MERGED [S, arity*Tmax, A] bfloat16 (exact: entries are 0/1); slot q
+    of term t lives at row q*Tmax + t.
 
     Building the selection tensors on device means the host only ships
     the small integer index tables; the (large) one-hot tensors never
-    exist in host memory or cross the host->device link.
+    exist in host memory or cross the host->device link. The merged
+    layout feeds :func:`select_slots`'s single batched dot with the
+    arity*Tmax axis on MXU LANES (round-4 profiling: the per-slot
+    [T, A] @ [A, 3] form put 3 output lanes on the 128-lane MXU and ran
+    ~1.5x slower).
     """
     oh = jax.nn.one_hot(idx, max_atoms, dtype=jnp.bfloat16)  # [S, T, arity, A]
-    return jnp.transpose(oh, (2, 0, 1, 3))
+    S, T, arity, A = oh.shape
+    return jnp.transpose(oh, (0, 2, 1, 3)).reshape(S, arity * T, A)
 
 
 def select_slots(positions: jnp.ndarray, idx: jnp.ndarray, onehot: jnp.ndarray):
-    """Select per-term atom positions: [S, A, 3] -> [4, S, 3, T].
+    """Select per-term atom positions: [S, A, 3] -> [arity, S, 3, T].
 
-    One fused one-hot einsum (an MXU matmul; its VJP is the transposed
-    matmul). A gather (``take_along_axis``) forward measured ~3x slower
-    than the einsum on TPU v5e, and its autodiff transpose is a
-    scatter-add — pathologically slow on TPU. The one-hot tensor is
-    bfloat16: its entries are exactly 0/1, so bf16 selection is
-    bit-exact while halving the dominant HBM stream of the energy path.
+    One batched dot ``[S, 3, A] @ [S, A, arity*T]`` (an MXU matmul; its
+    VJP is the transposed matmul). A gather (``take_along_axis``)
+    forward measured ~16x slower than this dot on TPU v5e, and its
+    autodiff transpose is a scatter-add — pathologically slow on TPU.
+    The contraction puts arity*T on the OUTPUT LANE axis: the earlier
+    per-slot form ``[T, A] @ [A, 3]`` had 3 output lanes of 128 and ran
+    ~1.5x slower forward and backward (round-4 profiling).
+
+    The one-hot tensor is bfloat16: its entries are exactly 0/1, so
+    under ``Precision.HIGHEST`` the f32 positions are split into three
+    exact bf16 chunks against a single-chunk bf16 operand (3 MXU passes
+    instead of the 6 an f32 one-hot would cost) and the selection stays
+    bit-exact (verified vs the f32 x f32 HIGHEST product on chip).
 
     The output puts xyz on the SUBLANE axis and terms on the LANE axis:
     a trailing axis of 3 would pad every (8, 128) TPU tile to 128 lanes
     (~42x wasted VPU work and memory on all downstream term math).
 
-    ``idx`` is [S, T, 4] int32 (kept for table-building and debugging);
-    ``onehot`` is [4, S, T, A] one-hot-encoding it
-    (see :func:`slot_onehots_device`).
+    ``idx`` is [S, T, arity] int32 (used only for its static shape);
+    ``onehot`` is the merged [S, arity*T, A] encoding from
+    :func:`slot_onehots_device`.
     """
-    del idx
-    return jnp.einsum(
-        "qsta,sad->qsdt", onehot, positions, preferred_element_type=jnp.float32
-    )
+    arity = idx.shape[2]
+    S, M, A = onehot.shape
+    T = M // arity
+    pT = jnp.transpose(positions, (0, 2, 1))  # [S, 3, A]
+    out = jax.lax.dot_general(
+        pT, onehot,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [S, 3, arity*T]
+    return jnp.transpose(out.reshape(S, 3, arity, T), (2, 0, 1, 3))
 
 
 class BoundedBatchCache:

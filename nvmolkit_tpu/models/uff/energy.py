@@ -10,8 +10,7 @@ TPU. This layout removes every gather/scatter from the hot path:
     with one-hot einsums (MXU matmuls; the VJP is the transposed
     matmul),
   * the vdW sum is a dense masked pairwise computation whose squared
-    distances come from one batched Gram matmul
-    (r2_ij = |p_i|^2 + |p_j|^2 - 2 p_i.p_j),
+    distances come from direct coordinate diffs (VPU-exact),
   * per-system energies are masked sums over the term axis — no
     segment_sum, no atomics.
 
@@ -49,10 +48,11 @@ class UFFBatch:
     """Device-side batched UFF system (pytree of jnp arrays).
 
     All bonded kinds share ONE fused selection table so the whole bonded
-    gather is 4 einsums (one per arity slot) regardless of kind count:
+    gather is a single batched dot regardless of kind count:
 
-      onehot [4, S, T_all, A]; kind k occupies rows
-      [offsets[k], offsets[k] + counts[k]) of the T_all axis.
+      onehot [S, 4*T_all, A] merged (slot q of term t at row q*T_all + t);
+      kind k occupies rows [offsets[k], offsets[k] + counts[k]) of the
+      T_all axis of the [4, S, 3, T_all] selection result.
 
     tables: kind -> {"mask": [S, Tk], params...}
     nonbonded: flattened [S, A*A] pair tables (exclusions folded into
@@ -65,7 +65,7 @@ class UFFBatch:
     offsets: tuple            # kind -> (start, count), static
     atom_mask: jnp.ndarray    # [S, A] bool
     sel_idx: jnp.ndarray      # [S, T_all, 4] int32 fused term atoms
-    onehot: jnp.ndarray       # [4, S, T_all, A] f32
+    onehot: jnp.ndarray       # [S, 4*T_all, A] bf16 merged
     tables: dict[str, dict[str, jnp.ndarray]]
     nb_x2: jnp.ndarray        # [S, A*A] pair x_ij^2 (flattened i*A+j)
     nb_d: jnp.ndarray         # [S, A*A] pair well depth, 0 where excluded
@@ -160,7 +160,7 @@ def batch_uff_terms(
             **{k: jnp.asarray(v) for k, v in per_sys.items()},
         }
     sel_idx = jnp.asarray(np.concatenate(fused_idx, axis=1))
-    onehot = slot_onehots_device(sel_idx, A)  # [4, S, T_all, A], built on device
+    onehot = slot_onehots_device(sel_idx, A)  # [S, 4*T_all, A], built on device
     return UFFBatch(
         n_systems=S,
         max_atoms=A,
@@ -277,16 +277,17 @@ _BONDED = {
 
 
 def _vdw_energy_dense(positions, batch: UFFBatch) -> jnp.ndarray:
-    """LJ 12-6 over all non-excluded pairs via one Gram matmul -> [S].
+    """LJ 12-6 over all non-excluded pairs, r^2 by direct coordinate
+    diffs on the VPU -> [S]. (The Gram-matmul form needs a K=3 MXU
+    contraction plus 6-pass exact-f32 emulation and cancels for close
+    pairs; the diff form is exact and faster — round-4 profiling.)
 
     Runs on flattened [S, A*A] pair tables (see UFFBatch); exclusions
     are folded into nb_d = 0, so e = 0 there with no mask tensor."""
     S, A = positions.shape[0], positions.shape[1]
-    sq = jnp.sum(positions * positions, axis=-1)          # [S, A]
-    gram = jnp.einsum(
-        "sad,sbd->sab", positions, positions, preferred_element_type=jnp.float32
-    )
-    r2 = (sq[:, :, None] + sq[:, None, :] - 2.0 * gram).reshape(S, A * A)
+    pT = jnp.transpose(positions, (0, 2, 1))              # [S, 3, A]
+    d = pT[:, :, :, None] - pT[:, :, None, :]             # [S, 3, A, A]
+    r2 = jnp.sum(d * d, axis=1).reshape(S, A * A)
     r2 = jnp.maximum(r2, 1e-2)                            # clash floor
     r6 = (batch.nb_x2 / r2) ** 3
     e = batch.nb_d * (r6 * r6 - 2.0 * r6)
