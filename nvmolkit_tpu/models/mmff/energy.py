@@ -320,15 +320,18 @@ _BONDED = {
 
 def _nonbonded_dense(positions, batch: MMFFBatch) -> jnp.ndarray:
     S, A = positions.shape[0], positions.shape[1]
-    # Pairwise r^2 via direct coordinate differences on the VPU with the
-    # atom axis on lanes. The Gram-matmul form (||a||^2 + ||b||^2 - 2 a.b)
-    # needs a K=3 contraction (3 of 128 MXU lanes), costs 6 emulation
-    # passes under exact-f32 precision, and cancels catastrophically for
-    # close pairs; the diff form is exact, ~1.4x faster measured on v5e,
-    # and has no cancellation.
-    pT = jnp.transpose(positions, (0, 2, 1))  # [S, 3, A]
-    d = pT[:, :, :, None] - pT[:, :, None, :]  # [S, 3, A, A]
-    r2 = jnp.sum(d * d, axis=1).reshape(S, A * A)
+    # Pairwise r^2 via direct per-coordinate differences on the VPU.
+    # The Gram-matmul form (||a||^2 + ||b||^2 - 2 a.b) needs a K=3
+    # contraction (3 of 128 MXU lanes), costs 6 emulation passes under
+    # exact-f32 precision, and cancels catastrophically for close pairs.
+    # Splitting coordinates into three [S, A] planes (instead of one
+    # [S, 3, A, A] diff tensor whose 3-sublane axis pads 8x) measured
+    # another ~20% off the in-loop step: exact, no cancellation.
+    x, y, z = positions[..., 0], positions[..., 1], positions[..., 2]
+    dx = x[:, :, None] - x[:, None, :]
+    dy = y[:, :, None] - y[:, None, :]
+    dz = z[:, :, None] - z[:, None, :]
+    r2 = (dx * dx + dy * dy + dz * dz).reshape(S, A * A)
     r2 = jnp.maximum(r2, 1e-2)
     r = jnp.sqrt(r2)
 

@@ -285,9 +285,11 @@ def _vdw_energy_dense(positions, batch: UFFBatch) -> jnp.ndarray:
     Runs on flattened [S, A*A] pair tables (see UFFBatch); exclusions
     are folded into nb_d = 0, so e = 0 there with no mask tensor."""
     S, A = positions.shape[0], positions.shape[1]
-    pT = jnp.transpose(positions, (0, 2, 1))              # [S, 3, A]
-    d = pT[:, :, :, None] - pT[:, :, None, :]             # [S, 3, A, A]
-    r2 = jnp.sum(d * d, axis=1).reshape(S, A * A)
+    x, y, z = positions[..., 0], positions[..., 1], positions[..., 2]
+    dx = x[:, :, None] - x[:, None, :]
+    dy = y[:, :, None] - y[:, None, :]
+    dz = z[:, :, None] - z[:, None, :]
+    r2 = (dx * dx + dy * dy + dz * dz).reshape(S, A * A)
     r2 = jnp.maximum(r2, 1e-2)                            # clash floor
     r6 = (batch.nb_x2 / r2) ** 3
     e = batch.nb_d * (r6 * r6 - 2.0 * r6)

@@ -33,7 +33,13 @@ class HardwareOptions:
     batchSize: int = -1
     batchesPerDevice: int = -1
     deviceIds: list[int] = dataclasses.field(default_factory=list)
-    atomBuckets: tuple[int, ...] = (32, 64, 128, 256)
+    # Finer low-end granularity pays directly in the minimizers: the
+    # nonbonded pair tables and eval work scale with A^2, and a 17-atom
+    # drug-like molecule in a 24-bucket runs ~19% faster per BFGS step
+    # than in a 32-bucket (round-4 v5e measurement). Each populated
+    # bucket costs one XLA compile (cached), so granularity stays
+    # coarser as sizes grow.
+    atomBuckets: tuple[int, ...] = (16, 24, 32, 48, 64, 96, 128, 192, 256)
     # reference spellings accepted as constructor aliases
     # (``HardwareOptions(batchSize=200, batchesPerGpu=4, gpuIds=[0])``,
     # ``nvmolkit/types.py:39-90``); canonical fields win when both given
