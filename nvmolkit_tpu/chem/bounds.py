@@ -32,6 +32,100 @@ _VDW_RADIUS = {
 }
 
 
+def _uff_geom_arrays(mol: Mol):
+    """Per-atom (r1, chi, theta0, vdw_radius) float64 arrays + per-bond
+    effective order, cached on the Mol — the chemistry feed for the
+    native bounds builder (all chemistry stays defined in Python)."""
+    cached = getattr(mol, "_uff_geom_cache", None)
+    if cached is not None:
+        return cached
+    n = mol.num_atoms
+    params = [uff_atom_type(mol, i) for i in range(n)]
+    r1 = np.asarray([p.r1 for p in params], np.float64)
+    chi = np.asarray([p.chi for p in params], np.float64)
+    theta0 = np.asarray([p.theta0 for p in params], np.float64)
+    vdw = np.asarray(
+        [_VDW_RADIUS.get(a.atomic_num, 1.5) for a in mol.atoms], np.float64
+    )
+    order = np.asarray(
+        [_bond_order(mol, b) for b in mol.bonds], np.float64
+    )
+    out = (r1, chi, theta0, vdw, order)
+    mol._uff_geom_cache = out
+    return out
+
+
+def topological_bounds_batch(
+    mols: list[Mol], pad_n: int, relaxed: bool = False
+) -> tuple[np.ndarray, np.ndarray] | None:
+    """Batched native bounds: (upper, lower) [M, pad_n, pad_n] float32
+    padded with zeros, or None when the native library is unavailable
+    (callers fall back to the per-molecule Python builder, which is the
+    semantic oracle — see csrc/topo_bounds.cpp)."""
+    import ctypes
+
+    from nvmolkit_tpu.chem.native import load_bounds_lib
+    from nvmolkit_tpu.chem.stereo import (
+        find_ring_cis_double_bonds,
+        find_stereo_double_bonds,
+    )
+
+    lib = load_bounds_lib()
+    if lib is None:
+        return None
+    M = len(mols)
+    atom_off = np.zeros(M + 1, np.int32)
+    bond_off = np.zeros(M + 1, np.int32)
+    sdb_off = np.zeros(M + 1, np.int32)
+    r1s, chis, t0s, vdws, orders, bonds, quads, cis = [], [], [], [], [], [], [], []
+    for k, m in enumerate(mols):
+        r1, chi, t0, vdw, order = _uff_geom_arrays(m)
+        r1s.append(r1); chis.append(chi); t0s.append(t0); vdws.append(vdw)
+        orders.append(order)
+        bonds.append(
+            np.asarray([(b.begin, b.end) for b in m.bonds], np.int32).reshape(-1, 2)
+        )
+        sdbs = find_stereo_double_bonds(m) + find_ring_cis_double_bonds(m)
+        quads.append(
+            np.asarray([(s.i, s.j, s.k, s.l) for s in sdbs], np.int32).reshape(-1, 4)
+        )
+        cis.append(np.asarray([s.is_cis for s in sdbs], np.uint8))
+        atom_off[k + 1] = atom_off[k] + m.num_atoms
+        bond_off[k + 1] = bond_off[k] + len(m.bonds)
+        sdb_off[k + 1] = sdb_off[k] + len(sdbs)
+
+    def cat(parts, dtype):
+        return (
+            np.ascontiguousarray(np.concatenate(parts), dtype=dtype)
+            if parts else np.zeros(0, dtype)
+        )
+
+    r1_a = cat(r1s, np.float64)
+    chi_a = cat(chis, np.float64)
+    t0_a = cat(t0s, np.float64)
+    vdw_a = cat(vdws, np.float64)
+    order_a = cat(orders, np.float64)
+    bond_a = cat(bonds, np.int32)
+    quad_a = cat(quads, np.int32)
+    cis_a = cat(cis, np.uint8)
+    upper = np.zeros((M, pad_n, pad_n), np.float32)
+    lower = np.zeros((M, pad_n, pad_n), np.float32)
+
+    def p(a, ct):
+        return a.ctypes.data_as(ctypes.POINTER(ct))
+
+    i32, f64, f32, u8 = (
+        ctypes.c_int32, ctypes.c_double, ctypes.c_float, ctypes.c_uint8
+    )
+    lib.nvmk_topo_bounds(
+        M, p(atom_off, i32), p(r1_a, f64), p(chi_a, f64), p(t0_a, f64),
+        p(vdw_a, f64), p(bond_off, i32), p(bond_a, i32), p(order_a, f64),
+        p(sdb_off, i32), p(quad_a, i32), p(cis_a, u8),
+        1 if relaxed else 0, pad_n, p(upper, f32), p(lower, f32),
+    )
+    return upper, lower
+
+
 def topological_bounds(
     mol: Mol, relaxed: bool = False
 ) -> tuple[np.ndarray, np.ndarray]:

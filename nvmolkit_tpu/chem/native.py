@@ -116,6 +116,46 @@ def load_etk_lib():
     return _etk_lib
 
 
+_BOUNDS_LIB_PATH = _CSRC / "libnvmolbounds.so"
+_bounds_lib = None
+_bounds_load_error: str | None = None
+
+
+def load_bounds_lib():
+    """ctypes handle for the native topological-bounds builder
+    (``csrc/topo_bounds.cpp``), or None when the toolchain is absent."""
+    global _bounds_lib, _bounds_load_error
+    if _bounds_lib is not None or _bounds_load_error is not None:
+        return _bounds_lib
+    try:
+        if not _BOUNDS_LIB_PATH.exists() or (
+            _BOUNDS_LIB_PATH.stat().st_mtime
+            < (_CSRC / "topo_bounds.cpp").stat().st_mtime
+        ):
+            subprocess.run(
+                ["make", "-C", str(_CSRC), "libnvmolbounds.so"],
+                check=True, capture_output=True,
+            )
+        lib = ctypes.CDLL(str(_BOUNDS_LIB_PATH))
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        f64p = ctypes.POINTER(ctypes.c_double)
+        f32p = ctypes.POINTER(ctypes.c_float)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.nvmk_topo_bounds.argtypes = [
+            ctypes.c_int32, i32p,                   # n_mols, atom_off
+            f64p, f64p, f64p, f64p,                 # r1, chi, theta0, vdw
+            i32p, i32p, f64p,                       # bond_off, bond_ij, order
+            i32p, i32p, u8p,                        # sdb_off, quads, cis
+            ctypes.c_int32, ctypes.c_int32,         # relaxed, pad_n
+            f32p, f32p,                             # upper, lower
+        ]
+        _bounds_lib = lib
+    except Exception as e:
+        _bounds_load_error = str(e)
+        _bounds_lib = None
+    return _bounds_lib
+
+
 def mols_from_smiles_native(
     smiles: list[str], n_threads: int = 0, strict: bool = True
 ) -> list[Mol | None]:

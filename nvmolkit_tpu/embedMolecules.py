@@ -263,8 +263,18 @@ def _embed_bucket(
         find_stereo_double_bonds,
     )
 
-    upper = np.zeros((M, A, A), np.float32)
-    lower = np.zeros((M, A, A), np.float32)
+    from nvmolkit_tpu.chem.bounds import topological_bounds_batch
+
+    bucket_mols = [molecules[mi] for mi in mol_ids]
+    with stage("topological_bounds"):
+        # native C++ batch builder (csrc/topo_bounds.cpp); Python
+        # per-molecule fallback is the semantic oracle
+        batch_bounds = topological_bounds_batch(bucket_mols, A)
+    if batch_bounds is not None:
+        upper, lower = batch_bounds
+    else:
+        upper = np.zeros((M, A, A), np.float32)
+        lower = np.zeros((M, A, A), np.float32)
     atom_mask = np.zeros((M, A), bool)
     max_chiral = 1
     chiral_data = []
@@ -274,9 +284,10 @@ def _embed_bucket(
     for k, mi in enumerate(mol_ids):
         m = molecules[mi]
         na = m.num_atoms
-        u, l = topological_bounds(m)
-        upper[k, :na, :na] = u
-        lower[k, :na, :na] = l
+        if batch_bounds is None:
+            u, l = topological_bounds(m)
+            upper[k, :na, :na] = u
+            lower[k, :na, :na] = l
         atom_mask[k, :na] = True
         cidx, clb, cub = build_chiral_sets(m)
         chiral_data.append((cidx, clb, cub))
@@ -510,11 +521,15 @@ def _embed_bucket(
 
         def _etk_resolved():
             if "batch" not in _etk_state:
+                from nvmolkit_tpu.models.etk import attach_etk_selection
+
                 etk_host = [build_etk_terms(molecules[mi], tp) for mi in mol_ids]
                 etk_pad = pad_etk_batch(etk_host)
-                _etk_state["batch"] = {
-                    k: _put(v[sys_mol]) for k, v in etk_pad.items()
-                }
+                # merged selection one-hot built ONCE here; without it
+                # etk_energy would rebuild it on every minimize step
+                _etk_state["batch"] = attach_etk_selection(
+                    {k: _put(v[sys_mol]) for k, v in etk_pad.items()}, A
+                )
                 _etk_state["args"] = {
                     "ub2": ub2, "lb2": lb2, "pair_mask": pair_mask,
                     "etk": _etk_state["batch"], "atom_mask": am_s,

@@ -45,8 +45,16 @@ def dg_energy(
     fourth_dim_weight: float,
 ) -> jnp.ndarray:
     S, A, D = positions.shape
-    diff = positions[:, :, None, :] - positions[:, None, :, :]
-    d2 = jnp.sum(diff * diff, axis=-1)  # [S, A, A]
+    # Pairwise d^2 via per-coordinate [S, A] planes: a [S, A, A, D] diff
+    # tensor's trailing D axis (3 or 4) pads to a full 128-lane tile on
+    # every materialization; summing per-coordinate squares keeps all
+    # intermediates at [S, A, A] (round-4 v5e profiling, same change as
+    # the MMFF/UFF nonbonded paths).
+    d2 = None
+    for c in range(D):
+        pc = positions[..., c]
+        dc = pc[:, :, None] - pc[:, None, :]
+        d2 = dc * dc if d2 is None else d2 + dc * dc
 
     upper_viol = jnp.where(d2 > ub2, d2 / jnp.maximum(ub2, 1e-8) - 1.0, 0.0)
     lower_viol = jnp.where(

@@ -141,8 +141,10 @@ def pad_etk_batch(terms: list[ETKTermsHost]) -> dict[str, np.ndarray]:
         "improper_k": np.zeros((S, Imax), np.float32),
         "improper_mask": np.zeros((S, Imax), bool),
         "torsion_idx": np.zeros((S, Tmax, 4), np.int32),
-        "torsion_coeffs": np.zeros((S, Tmax, 6), np.float32),
-        "torsion_phase": np.zeros((S, Tmax, 6), np.float32),
+        # coeffs/phases [S, 6, T]: k harmonics on SUBLANES, terms on
+        # LANES (a trailing 6-axis pads every TPU tile to 128 lanes)
+        "torsion_coeffs": np.zeros((S, 6, Tmax), np.float32),
+        "torsion_phase": np.zeros((S, 6, Tmax), np.float32),
         "torsion_mask": np.zeros((S, Tmax), bool),
     }
     for s, t in enumerate(terms):
@@ -154,28 +156,54 @@ def pad_etk_batch(terms: list[ETKTermsHost]) -> dict[str, np.ndarray]:
             out["improper_mask"][s, :ni] = True
         if nt:
             out["torsion_idx"][s, :nt] = t.torsion_idx
-            out["torsion_coeffs"][s, :nt] = t.torsion_coeffs
-            out["torsion_phase"][s, :nt] = t.torsion_phase
+            out["torsion_coeffs"][s, :, :nt] = t.torsion_coeffs.T
+            out["torsion_phase"][s, :, :nt] = t.torsion_phase.T
             out["torsion_mask"][s, :nt] = True
     return out
 
 
-def _gather_quads(pos3, idx):
-    """pos3 [S, A, 3], idx [S, K, 4] -> [S, K, 4, 3].
+# Term math runs in [S, 3, K] layout — xyz on the SUBLANE axis, terms
+# on the LANE axis — exactly like the MMFF/UFF bonded paths: a trailing
+# axis of 3 pads every (8, 128) TPU tile to 128 lanes (~42x waste on
+# all intermediates), and per-slot one-hot matmuls put 3 output lanes
+# on the 128-lane MXU. The improper and torsion quads share ONE merged
+# selection dot (models/terms.select_slots) over a precomputed bf16
+# one-hot (etk["sel_oh"], built once per batch by attach_etk_selection;
+# rebuilt on the fly if a caller passes a bare padded dict).
 
-    One-hot einsum, NOT an elementwise gather: dynamic-index gathers
-    lower to serialized loops on TPU and their autodiff transpose is a
-    scatter-add (see models/terms.select_slots — the flat-gather form of
-    this function cost ~2/3 of embed's end-to-end wall time). The bf16
-    one-hot is exact (entries 0/1) and the contraction accumulates f32.
-    """
-    A = pos3.shape[1]
-    # accumulate in the position dtype (f64 validation mode stays f64)
-    oh_dt = jnp.bfloat16 if pos3.dtype == jnp.float32 else pos3.dtype
-    oh = jax.nn.one_hot(idx, A, dtype=oh_dt)             # [S, K, 4, A]
-    return jnp.einsum(
-        "skqa,sad->skqd", oh, pos3, preferred_element_type=pos3.dtype
+_UX = np.asarray([1.0, 0.0, 0.0], np.float32).reshape(1, 3, 1)
+_UY = np.asarray([0.0, 1.0, 0.0], np.float32).reshape(1, 3, 1)
+_UZ = np.asarray([0.0, 0.0, 1.0], np.float32).reshape(1, 3, 1)
+
+
+def _safe3(d, mask, unit):
+    return jnp.where(mask[:, None, :], d, unit.astype(d.dtype))
+
+
+def _norm1(d):
+    return jnp.sqrt(jnp.sum(d * d, axis=1) + 1e-10)
+
+
+def _cross1(u, v):
+    return jnp.cross(u, v, axisa=1, axisb=1, axisc=1)
+
+
+def attach_etk_selection(etk: dict, max_atoms: int) -> dict:
+    """Add the merged selection tables to a (device) padded ETK batch:
+    "sel_idx" [S, I+T, 4] int32 (impropers first) and "sel_oh", the
+    merged bf16 one-hot from models/terms.slot_onehots_device. Called
+    once per batch so the per-step energy eval only runs the selection
+    dot; without it etk_energy rebuilds both every call."""
+    from nvmolkit_tpu.models.terms import slot_onehots_device
+
+    sel_idx = jnp.concatenate(
+        [jnp.asarray(etk["improper_idx"]), jnp.asarray(etk["torsion_idx"])], axis=1
     )
+    return {
+        **etk,
+        "sel_idx": sel_idx,
+        "sel_oh": slot_onehots_device(sel_idx, max_atoms),
+    }
 
 
 def etk_energy(
@@ -185,51 +213,56 @@ def etk_energy(
     bounds_weight: float = 1.0,
 ) -> jnp.ndarray:
     """Per-system ETK 3-D energies."""
-    zero_c = jnp.zeros((positions.shape[0], 1, 4), jnp.int32)
+    from nvmolkit_tpu.models.terms import select_slots, slot_onehots_device
+
+    S, A, _ = positions.shape
+    zero_c = jnp.zeros((S, 1, 4), jnp.int32)
     e = bounds_weight * dg_energy(
         positions, ub2, lb2, pair_mask,
-        zero_c, jnp.zeros((positions.shape[0], 1)), jnp.zeros((positions.shape[0], 1)),
-        jnp.zeros((positions.shape[0], 1), bool),
+        zero_c, jnp.zeros((S, 1)), jnp.zeros((S, 1)),
+        jnp.zeros((S, 1), bool),
         chiral_weight=0.0, fourth_dim_weight=0.0,
     )
 
-    # improper planarity
-    pts = _gather_quads(positions, etk["improper_idx"])  # [S, I, 4, 3]
+    sel_idx = etk.get("sel_idx")
+    if sel_idx is None:
+        sel_idx = jnp.concatenate([etk["improper_idx"], etk["torsion_idx"]], axis=1)
+    oh = etk.get("sel_oh")
+    if oh is None:
+        oh = slot_onehots_device(sel_idx, A)
+    I = etk["improper_idx"].shape[1]
+    slots = select_slots(positions, sel_idx, oh)  # [4, S, 3, I+T]
+
+    # improper planarity: E = k (1 - cos w), sin w = n.rjl / (|n||rjl|)
     mask = etk["improper_mask"]
-    rji = pts[:, :, 0] - pts[:, :, 1]
-    rjk = pts[:, :, 2] - pts[:, :, 1]
-    rjl = pts[:, :, 3] - pts[:, :, 1]
-    rji = jnp.where(mask[..., None], rji, jnp.asarray([1.0, 0, 0]))
-    rjk = jnp.where(mask[..., None], rjk, jnp.asarray([0, 1.0, 0]))
-    rjl = jnp.where(mask[..., None], rjl, jnp.asarray([1.0, 0, 0]))
-    n = jnp.cross(rji, rjk)
-    nn = jnp.sqrt(jnp.sum(n * n, -1) + 1e-10)
-    nl = jnp.sqrt(jnp.sum(rjl * rjl, -1) + 1e-10)
-    sin_w = jnp.clip(jnp.sum(n * rjl, -1) / (nn * nl), -1.0, 1.0)
+    rji = _safe3(slots[0, :, :, :I] - slots[1, :, :, :I], mask, _UX)
+    rjk = _safe3(slots[2, :, :, :I] - slots[1, :, :, :I], mask, _UY)
+    rjl = _safe3(slots[3, :, :, :I] - slots[1, :, :, :I], mask, _UX)
+    n = _cross1(rji, rjk)
+    sin_w = jnp.clip(
+        jnp.sum(n * rjl, axis=1) / (_norm1(n) * _norm1(rjl)), -1.0, 1.0
+    )
     cos_w = jnp.sqrt(jnp.clip(1.0 - sin_w * sin_w, 1e-10, 1.0))
     e = e + jnp.sum(
         jnp.where(mask, etk["improper_k"] * (1.0 - cos_w), 0.0), axis=1
     )
 
-    # experimental torsions
-    pts = _gather_quads(positions, etk["torsion_idx"])  # [S, T, 4, 3]
+    # experimental torsions: E = sum_k F_k (1 + cos(k phi - phi0_k)).
+    # coeffs/phases are stored [S, 6, T] (k on sublanes, terms on lanes)
+    # and the k-sum is unrolled — a trailing 6-axis would pad to 128.
     tmask = etk["torsion_mask"]
-    b1 = pts[:, :, 1] - pts[:, :, 0]
-    b2 = pts[:, :, 2] - pts[:, :, 1]
-    b3 = pts[:, :, 3] - pts[:, :, 2]
-    b1 = jnp.where(tmask[..., None], b1, jnp.asarray([1.0, 0, 0]))
-    b2 = jnp.where(tmask[..., None], b2, jnp.asarray([0, 1.0, 0]))
-    b3 = jnp.where(tmask[..., None], b3, jnp.asarray([0, 0, 1.0]))
-    n1 = jnp.cross(b1, b2)
-    n2 = jnp.cross(b2, b3)
-    m1 = jnp.cross(n1, b2 / jnp.linalg.norm(b2, axis=-1, keepdims=True).clip(1e-9))
-    phi = jnp.arctan2(jnp.sum(m1 * n2, -1), jnp.sum(n1 * n2, -1))  # [S, T]
-    k_idx = jnp.arange(1, 7, dtype=positions.dtype)
-    tor = jnp.sum(
-        etk["torsion_coeffs"]
-        * (1.0 + jnp.cos(k_idx * phi[..., None] - etk["torsion_phase"])),
-        axis=-1,
-    )
+    b1 = _safe3(slots[1, :, :, I:] - slots[0, :, :, I:], tmask, _UX)
+    b2 = _safe3(slots[2, :, :, I:] - slots[1, :, :, I:], tmask, _UY)
+    b3 = _safe3(slots[3, :, :, I:] - slots[2, :, :, I:], tmask, _UZ)
+    n1 = _cross1(b1, b2)
+    n2 = _cross1(b2, b3)
+    m1 = _cross1(n1, b2 / _norm1(b2)[:, None, :])
+    phi = jnp.arctan2(jnp.sum(m1 * n2, axis=1), jnp.sum(n1 * n2, axis=1))  # [S, T]
+    coeffs, phase = etk["torsion_coeffs"], etk["torsion_phase"]
+    tor = None
+    for k in range(1, 7):
+        term = coeffs[:, k - 1, :] * (1.0 + jnp.cos(k * phi - phase[:, k - 1, :]))
+        tor = term if tor is None else tor + term
     e = e + jnp.sum(jnp.where(tmask, tor, 0.0), axis=1)
     return e
 

@@ -136,14 +136,19 @@ def select_slots(positions: jnp.ndarray, idx: jnp.ndarray, onehot: jnp.ndarray):
     arity = idx.shape[2]
     S, M, A = onehot.shape
     T = M // arity
-    pT = jnp.transpose(positions, (0, 2, 1))  # [S, 3, A]
+    D = positions.shape[2]
+    out_dt = positions.dtype
+    if out_dt != jnp.float32:
+        # f64 validation mode: accumulate in the position dtype
+        onehot = onehot.astype(out_dt)
+    pT = jnp.transpose(positions, (0, 2, 1))  # [S, D, A]
     out = jax.lax.dot_general(
         pT, onehot,
         dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=out_dt,
         precision=jax.lax.Precision.HIGHEST,
-    )  # [S, 3, arity*T]
-    return jnp.transpose(out.reshape(S, 3, arity, T), (2, 0, 1, 3))
+    )  # [S, D, arity*T]
+    return jnp.transpose(out.reshape(S, D, arity, T), (2, 0, 1, 3))
 
 
 class BoundedBatchCache:
