@@ -133,7 +133,7 @@ def fused_butina_kernel(
     threshold: float,  # similarity threshold (neighbor iff sim >= threshold)
     *,
     metric: str = "tanimoto",
-    member_chunk: int = 512,
+    member_chunk: int = 128,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """O(N)-memory Butina over packed fingerprints.
 
@@ -141,14 +141,21 @@ def fused_butina_kernel(
     a chunked MXU sweep; after each cluster extraction, counts are
     decremented by the members' contributions (one [N, member_chunk]
     matmul per chunk of the new cluster).
+
+    The unpacked bit rows are int8 (exact int32 MXU accumulation, same
+    trick as ops/similarity) — each extraction round streams the whole
+    [N, K] bit tensor twice (center matvec + member decrement), so
+    halving the element width against bf16 directly halves the round's
+    HBM traffic, the dominant cost at N=100k.
     """
     n, w = fps.shape
-    bits = unpack_bits(fps, dtype=jnp.bfloat16)  # [N, K]
+    bits = unpack_bits(fps, dtype=jnp.int8)  # [N, K]
     pop = popcount_rows(fps).astype(jnp.float32)  # [N]
 
     def hit_block(rows_bits, rows_pop, row_valid):
         """[N, R] bool: is (j, r) a neighbor pair (sim >= threshold)."""
-        c = jnp.dot(bits, rows_bits.T, preferred_element_type=jnp.float32)
+        c = jnp.dot(bits, rows_bits.T, preferred_element_type=jnp.int32)
+        c = c.astype(jnp.float32)
         if metric == "tanimoto":
             denom = pop[:, None] + rows_pop[None, :] - c
         else:  # cosine
@@ -156,8 +163,12 @@ def fused_butina_kernel(
         sim = jnp.where(denom > 0, c / denom, 0.0)
         return (sim >= threshold) & row_valid[None, :]
 
-    # initial counts: chunked sweep over columns
-    chunk = member_chunk
+    # initial counts: chunked sweep over columns. The sweep chunk is
+    # deliberately LARGE (1024): every chunk's matmul streams the whole
+    # [N, K] bit tensor once, so chunk width divides the total sweep
+    # traffic — 128-wide chunks cost ~160 GB of HBM reads at N=100k,
+    # 1024-wide ~20 GB. (The same applies to the epoch flush below.)
+    chunk = max(member_chunk, min(1024, n))
     n_pad = ((n + chunk - 1) // chunk) * chunk
     pad = n_pad - n
     bits_p = jnp.pad(bits, ((0, pad), (0, 0)))
@@ -176,43 +187,121 @@ def fused_butina_kernel(
         count_chunk, jnp.zeros(n, dtype=jnp.int32), jnp.arange(n_pad // chunk)
     )
 
+    # --- epoch-window extraction loop ---------------------------------
+    # Naive extraction costs two full [N, K] streams per cluster (a
+    # center mat-VEC with one output lane of the MXU's 128, plus the
+    # member-decrement matmul) — ~2 ms/cluster at N=100k, 4 s for 2k
+    # clusters. Instead clusters are extracted in EPOCHS:
+    #
+    #   * epoch start (counts exact): pick the true argmax-last center
+    #     plus the other top-(WIN-1) candidate centers, and prefetch all
+    #     their hit COLUMNS with one well-shaped [N, K] @ [K, WIN]
+    #     matmul. Hit rows are static, so a prefetched column masked by
+    #     the live `free` is always the exact member set.
+    #   * inner extractions use ONLY the window: per-candidate live
+    #     counts are [N, WIN] column reductions (no matmul). Extraction
+    #     m >= 1 runs only while the window's best live count STRICTLY
+    #     exceeds the best epoch-start count outside the window — counts
+    #     only ever decrease, so the outside bound is conservative and
+    #     the global argmax-last is provably inside. Iteration 0 uses
+    #     the exact global argmax, so every epoch extracts >= 1 cluster
+    #     (no livelock in tie-heavy tails).
+    #   * epoch end: ALL removed members' decrements flush in one
+    #     batched chunked matmul, restoring exact counts.
+    #
+    # The per-cluster cost falls from two full streams to one [N, WIN]
+    # reduction, with the matmuls amortized over the epoch. No lax.cond
+    # anywhere: XLA:TPU flattens cheap side-effect-free conditionals to
+    # execute-both-and-select inside while loops (measured 3x slower
+    # end-to-end with a cond-guarded sort fallback, round 4).
+    WIN = min(member_chunk, n)
+    iota = jnp.arange(n, dtype=jnp.int32)
+    k_top = min(chunk, n)
+
     def cond(state):
         free, counts, _, _, _ = state
         return jnp.max(jnp.where(free, counts, 0)) > 1
 
     def body(state):
         free, counts, cluster_raw, centroids, k = state
+        free_in = free
         masked = jnp.where(free, counts, 0)
-        center = _argmax_last(masked)
-        members = hit_block(bits[center][None, :], pop[center][None], jnp.ones(1, bool))[:, 0]
-        members = members & free
-        members = members.at[center].set(True)
-        cluster_raw = jnp.where(members, k, cluster_raw)
-        centroids = centroids.at[k].set(center)
-        free = free & ~members
 
-        # decrement counts by member contributions, member_chunk at a time.
-        # Member indices come from a key-value sort (members first), NOT
-        # jnp.nonzero — nonzero lowers to a scatter that serializes on TPU
-        # and dominated the loop (~0.5 s/cluster at N=100k).
-        iota = jnp.arange(n, dtype=jnp.int32)
-        _, member_idx = jax.lax.sort_key_val((~members).astype(jnp.int32), iota)
-        if n % chunk:  # allow dynamic_slice chunks on small inputs
-            member_idx = jnp.pad(member_idx, (0, chunk - n % chunk))
-        n_members = members.sum()
+        # window: exact argmax-last first, then the top-(WIN-1) others
+        # by (count, index) descending — on count ties argmax-last picks
+        # the HIGHEST index, so high-index rows must be preferred or
+        # tie-heavy data (equal-size clusters) would invalidate the
+        # window after one extraction. The selection key packs
+        # min(count, 2^15-1) and index>>2 into int32 (selection quality
+        # only — exactness comes from the separate bound check below).
+        center0 = _argmax_last(masked)
+        sel_key = jnp.minimum(masked, 32767) * 32768 + (iota >> 2)
+        sel_key = jnp.where(masked > 0, sel_key, -1)
+        _, cand_rest = jax.lax.top_k(sel_key, WIN)
+        win_centers = jnp.concatenate([center0[None], cand_rest[: WIN - 1]])
+        H = hit_block(bits[win_centers], pop[win_centers], jnp.ones(WIN, bool))
+        # epoch-start bound OUTSIDE the window: (max count, max index at
+        # that count). Counts only decrease, so for the whole epoch
+        # every non-window row is lexicographically <= this pair.
+        out_masked = masked.at[win_centers].set(0)
+        cb_out = jnp.max(out_masked)
+        cb_idx_out = jnp.max(jnp.where(out_masked == cb_out, iota, -1))
 
-        def dec_loop(i, c):
-            start = i * chunk
-            idx = jax.lax.dynamic_slice_in_dim(member_idx, start, chunk, 0)
-            valid = (start + jnp.arange(chunk, dtype=jnp.int32)) < n_members
-            rb = bits[idx]
-            rp = pop[idx]
-            delta = hit_block(rb, rp, valid).sum(axis=1, dtype=jnp.int32)
-            return c - delta
+        def ext_cond(carry):
+            free, cluster_raw, centroids, k, m, live = carry
+            return live & (m < WIN)
 
-        n_chunks = (n_members + chunk - 1) // chunk
-        counts = jax.lax.fori_loop(0, n_chunks, dec_loop, counts)
-        return free, counts, cluster_raw, centroids, k + 1
+        def ext_body(carry):
+            free, cluster_raw, centroids, k, m, live = carry
+            counts_win = jnp.sum(H & free[:, None], axis=0, dtype=jnp.int32)
+            # a candidate absorbed into an earlier cluster this epoch is
+            # no longer eligible as a center, even though its free
+            # neighbors still give its column a positive count
+            counts_win = jnp.where(free[win_centers], counts_win, 0)
+            maxc = jnp.max(counts_win)
+            # argmax-last by ITEM index among max-count candidates
+            cands = jnp.where(counts_win == maxc, win_centers, -1)
+            center = jnp.where(m == 0, center0, jnp.max(cands))
+            # proceed iff provably still the global argmax-last:
+            # (maxc, center) must lexicographically beat the outside
+            # bound (iteration 0 is the exact argmax by construction)
+            beats = (maxc > cb_out) | ((maxc == cb_out) & (center > cb_idx_out))
+            live = live & (beats | (m == 0)) & (maxc > 1)
+            pos = jnp.argmax(win_centers == center)
+            members = H[:, pos] & free
+            members = members.at[center].set(True)
+            members = members & live
+            cluster_raw = jnp.where(members, k, cluster_raw)
+            centroids = jnp.where(
+                live, centroids.at[k].set(center), centroids
+            )
+            free = free & ~members
+            k = k + live.astype(jnp.int32)
+            return free, cluster_raw, centroids, k, m + 1, live
+
+        free, cluster_raw, centroids, k, _, _ = jax.lax.while_loop(
+            ext_cond, ext_body,
+            (free, cluster_raw, centroids, k, jnp.int32(0), jnp.bool_(True)),
+        )
+
+        # flush: one batched decrement for everything removed this epoch
+        removed = free_in & ~free
+        n_removed = removed.sum()
+
+        def dec_loop(i, carry):
+            c, rem = carry
+            keys = jnp.where(rem, iota, jnp.int32(-1))
+            _, idx = jax.lax.top_k(keys, k_top)
+            valid = jnp.arange(k_top, dtype=jnp.int32) < rem.sum()
+            delta = hit_block(bits[idx], pop[idx], valid).sum(
+                axis=1, dtype=jnp.int32
+            )
+            rem = rem & ~jnp.zeros_like(rem).at[idx].set(valid)
+            return c - delta, rem
+
+        n_chunks = (n_removed + k_top - 1) // k_top
+        counts, _ = jax.lax.fori_loop(0, n_chunks, dec_loop, (counts, removed))
+        return free, counts, cluster_raw, centroids, k
 
     free0 = jnp.ones(n, dtype=bool)
     cluster0 = jnp.full(n, -1, dtype=jnp.int32)
