@@ -259,6 +259,30 @@ def bench_substruct() -> dict:
         out[engine] = (n_pairs / best_c, n_pairs / best_m)
         total[engine] = int(cnt.sum())
     assert total["device"] == total["native"], total
+
+    # recursive-SMARTS screen (round-4: $() root masks evaluate on
+    # device leaf-first; previously every recursive query drained to
+    # the 1-core host and was the slowest path in the framework)
+    REC_QUERIES = [
+        "[NX3;!$(NC=O)]", "[$([CX4][OX2H1])]", "[c;$(c1ccccc1)]",
+        "[O;$(OC)]", "[C$(C=O)]", "[!$([#6])!$([#1])]",
+    ]
+    rec = {}
+    rec_total = {}
+    n_rec_pairs = len(targets) * len(REC_QUERIES)
+    for engine in ("device", "native"):
+        cfg = SubstructSearchConfig(useDeviceEngine=(engine == "device"))
+        lib = SubstructLibrary(targets)
+        countSubstructMatches(lib, REC_QUERIES[:2], cfg)  # compile/warm
+        best_c = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            rcnt = countSubstructMatches(lib, REC_QUERIES, cfg)
+            best_c = min(best_c, time.perf_counter() - t0)
+        rec[engine] = n_rec_pairs / best_c
+        rec_total[engine] = int(rcnt.sum())
+    assert rec_total["device"] == rec_total["native"], rec_total
+
     dev_c, dev_m = out["device"]
     nat_c, nat_m = out["native"]
     return {
@@ -272,6 +296,10 @@ def bench_substruct() -> dict:
         "native_matches_pairs_per_sec": nat_m,
         "n_pairs": n_pairs,
         "total_matches": total["device"],
+        "recursive_device_pairs_per_sec": rec["device"],
+        "recursive_native_pairs_per_sec": rec["native"],
+        "recursive_vs_native": rec["device"] / rec["native"],
+        "recursive_total_matches": rec_total["device"],
     }
 
 

@@ -131,6 +131,13 @@ def _eval_expr(expr: Expr, tf: TargetFeatures) -> np.ndarray:
         if expr.prop == "true":
             return np.ones(tf.n_atoms, bool)
         if expr.prop == "recursive":
+            masks = getattr(tf, "recursive_masks", None)
+            if masks is not None:
+                # device-bucket evaluation: the [Nb, T] root masks were
+                # precomputed leaf-first on device (substruct_device.
+                # _ensure_recursive_masks, the reference's
+                # recursive_preprocessor.cu role)
+                return masks[expr.pattern.smarts or id(expr.pattern)]
             return _recursive_roots(expr.pattern, tf)
         if expr.prop == "is_aromatic":
             return tf.feats["is_aromatic"].astype(bool) == bool(expr.value)

@@ -47,6 +47,7 @@ from nvmolkit_tpu.ops.substruct import (
     _bfs_order,
     _eval_expr,
     _is_connected,
+    _recursive_roots,
 )
 
 QUERY_BUCKETS = (4, 8, 16, 32, 64)
@@ -93,6 +94,30 @@ def _has_recursive(q: QueryMol) -> bool:
     return any(walk(a.expr) for a in q.atoms)
 
 
+def _collect_recursive_patterns(q: QueryMol, out: list) -> None:
+    """Append (key, pattern) for every distinct recursive sub-pattern of
+    ``q``, INNERMOST FIRST (so nested $(...) masks resolve before their
+    parents — the reference evaluates recursive trees leaf-first,
+    ``recursive_preprocessor.h:29-80``)."""
+    seen = {k for k, _ in out}
+
+    def walk(e: Expr) -> None:
+        if e.kind == LEAF:
+            if e.prop == "recursive" and e.pattern is not None:
+                for a in e.pattern.atoms:
+                    walk(a.expr)
+                key = e.pattern.smarts or id(e.pattern)
+                if key not in seen:
+                    seen.add(key)
+                    out.append((key, e.pattern))
+            return
+        for c in e.children:
+            walk(c)
+
+    for a in q.atoms:
+        walk(a.expr)
+
+
 @dataclasses.dataclass
 class CompiledQuery:
     """Host-compiled traversal plan for the device join."""
@@ -104,6 +129,7 @@ class CompiledQuery:
     back_mask: np.ndarray     # [nq, E] uint16 bond-code masks
     n_edges: int              # max back edges of any slot
     has_recursive: bool
+    recursive_ok: bool = True  # every recursive sub-pattern device-compilable
 
 
 def compile_query(q: QueryMol) -> CompiledQuery | None:
@@ -131,9 +157,22 @@ def compile_query(q: QueryMol) -> CompiledQuery | None:
         for e, (slot, bi) in enumerate(back):
             back_slot[i, e] = slot
             back_mask[i, e] = _bond_code_mask(q.bonds[bi])
+    has_rec = _has_recursive(q)
+    rec_ok = True
+    if has_rec:
+        # a recursive query runs on device only if every $(...)
+        # sub-pattern (at any nesting depth) is itself device-compilable
+        pats: list = []
+        _collect_recursive_patterns(q, pats)
+        for _key, sp in pats:
+            scq = compile_query(sp)
+            if scq is None or (scq.has_recursive and not scq.recursive_ok):
+                rec_ok = False
+                break
     return CompiledQuery(
         nq=nq, slot_atom=slot_atom, perm=perm, back_slot=back_slot,
-        back_mask=back_mask, n_edges=E, has_recursive=_has_recursive(q),
+        back_mask=back_mask, n_edges=E, has_recursive=has_rec,
+        recursive_ok=rec_ok,
     )
 
 
@@ -145,6 +184,9 @@ class _StackedFeatures:
     def __init__(self, feats: dict, n_atoms: int):
         self.feats = feats
         self.n_atoms = n_atoms
+        # key -> [Nb, T] bool root masks for recursive sub-patterns,
+        # filled by _ensure_recursive_masks before label painting
+        self.recursive_masks: dict = {}
 
 
 class _DeviceBucket:
@@ -434,6 +476,87 @@ def uniquify_rows(rows: np.ndarray, max_matches: int) -> tuple[np.ndarray, bool]
     return rows, False
 
 
+@partial(jax.jit, static_argnames=("slot0", "T"))
+def _root_mask_kernel(frontier, counts, slot0, T):
+    """[B, T] bool: target atoms where some complete match puts the
+    recursive pattern's query atom 0 (traversal slot ``slot0``)."""
+    B, P, _Q = frontier.shape
+    roots = frontier[:, :, slot0]                            # [B, P]
+    valid = jnp.arange(P)[None, :] < counts[:, None]
+    oh = (roots[:, :, None] == jnp.arange(T)[None, None, :]) & valid[:, :, None]
+    return jnp.any(oh, axis=1)
+
+
+def _ensure_recursive_masks(
+    bucket: "_DeviceBucket",
+    q: QueryMol,
+    T: int,
+    P: int,
+    device,
+    library: "DeviceTargetLibrary",
+) -> bool:
+    """Precompute [Nb, T] root masks for every recursive sub-pattern of
+    ``q`` over the whole target bucket, ON DEVICE, innermost-first (the
+    reference's recursive preprocessor evaluates $(...) trees leaf-first
+    on GPU before the main match, ``recursive_preprocessor.h:29-80``).
+    Masks land in ``bucket.feats.recursive_masks`` so the subsequent
+    label painting reads them like any other feature column. Returns
+    False when a sub-pattern cannot run on device (caller drains the
+    whole query to the host engines). Frontier-overflowed rows fall back
+    to the exact per-target host evaluation."""
+    pats: list = []
+    _collect_recursive_patterns(q, pats)
+    for key, sp in pats:
+        if key in bucket.feats.recursive_masks:
+            continue
+        scq = compile_query(sp)
+        if scq is None or (scq.has_recursive and not scq.recursive_ok):
+            return False
+        labs = bucket.labels_for(sp, scq)                    # [Nb, nq, T]
+        Nb = labs.shape[0]
+        mask = np.zeros((Nb, T), bool)
+        nonempty = labs.any(axis=2).all(axis=1)
+        live_rows = np.nonzero(nonempty)[0]
+        if scq.nq == 1:
+            mask[live_rows] = labs[live_rows, 0, :]
+        elif len(live_rows):
+            W = -(-T // 8)
+            packed_all = np.packbits(labs, axis=2, bitorder="little")
+            Q = next(b for b in QUERY_BUCKETS if scq.nq <= b)
+            E = scq.n_edges
+            slot0 = int(scq.perm[0])
+            adj_dev = bucket.adj_on(device)
+            for start in range(0, len(live_rows), LAUNCH_PAIRS):
+                rows = live_rows[start:start + LAUNCH_PAIRS]
+                n = len(rows)
+                B = next((b for b in _B_LADDER if b >= n), LAUNCH_PAIRS)
+                packed = np.zeros((B, Q, W), np.uint8)
+                packed[:n, : scq.nq, : packed_all.shape[2]] = packed_all[rows]
+                adj_rows = np.zeros(B, np.int32)
+                adj_rows[:n] = rows
+                back_slot = np.full((B, Q, E), -1, np.int32)
+                back_slot[:, : scq.nq] = scq.back_slot
+                back_mask = np.zeros((B, Q, E), np.uint16)
+                back_mask[:, : scq.nq] = scq.back_mask
+                nq_arr = np.full(B, scq.nq, np.int32)
+                args = jax.device_put(
+                    (packed, adj_rows, back_slot, back_mask, nq_arr), device
+                )
+                frontier, counts, over = _device_gsi_join(
+                    args[0], adj_dev, args[1], args[2], args[3], args[4],
+                    T, P,
+                )
+                m = _root_mask_kernel(frontier, counts, slot0, T)
+                m_np, over_np = jax.device_get((m, over))
+                mask[rows] = m_np[:n]
+                for r in np.nonzero(over_np[:n])[0]:
+                    tf = library.tfs[bucket.tids[rows[r]]]
+                    mask[rows[r], :] = False
+                    mask[rows[r], : tf.n_atoms] = _recursive_roots(sp, tf)
+        bucket.feats.recursive_masks[key] = mask
+    return True
+
+
 @dataclasses.dataclass
 class _Launch:
     """One dispatched join: bookkeeping to decode its fetched slice."""
@@ -508,7 +631,11 @@ def device_substruct_matches(
     grouped: dict[tuple[int, int, int], dict[int, list[int]]] = {}
     for ti, qi in pairs:
         cq = compiled[qi]
-        if cq is None or cq.has_recursive or ti in library.oversized:
+        if (
+            cq is None
+            or (cq.has_recursive and not cq.recursive_ok)
+            or ti in library.oversized
+        ):
             unresolved.add((ti, qi))
             continue
         tf = tfs[ti]
@@ -526,6 +653,15 @@ def device_substruct_matches(
         W = -(-T // 8)
         for qi, tids in by_query.items():
             cq = compiled[qi]
+            if cq.has_recursive:
+                # device-evaluate $(...) root masks leaf-first over the
+                # whole bucket before label painting
+                if not _ensure_recursive_masks(
+                    bucket, qmols[qi], T, P, devices[dev_cycle % len(devices)],
+                    library,
+                ):
+                    unresolved.update((int(t), qi) for t in tids)
+                    continue
             labs = bucket.labels_for(qmols[qi], cq)  # [Nb, nq, T]
             rows_all = np.asarray([bucket.row_of[t] for t in tids], np.int32)
             # host prefilter: a pair whose label matrix has an empty

@@ -243,7 +243,7 @@ def getSubstructMatches(
         compiled = [compile_query(q) for q in qmols]
         device_qis = {
             qi for qi, c in enumerate(compiled)
-            if c is not None and not c.has_recursive
+            if c is not None and (not c.has_recursive or c.recursive_ok)
         }
         all_pairs = [
             (ti, qi) for ti in range(len(tfs)) for qi in range(len(qmols))
