@@ -172,9 +172,12 @@ def bench_morgan() -> dict:
     gen = MorganFingerprintGenerator(radius=3, fpSize=2048)
     # compile + warm with the full set so every chunk shape is cached
     gen.GetFingerprintsFromSmiles(smiles).numpy()
-    t0 = time.perf_counter()
-    fps = gen.GetFingerprintsFromSmiles(smiles).numpy()
-    wall = time.perf_counter() - t0
+    # best-of-3 (same chip-variance protocol as every other workload)
+    wall = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        fps = gen.GetFingerprintsFromSmiles(smiles).numpy()
+        wall = min(wall, time.perf_counter() - t0)
     assert fps.shape[0] == len(smiles)
     return {
         "metric": "morgan_fp_e2e",

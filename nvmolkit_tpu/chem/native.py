@@ -298,13 +298,18 @@ def morgan_batches_from_smiles(
             out[bucket] = (
                 idx_arr,
                 {
+                    # narrow transfer dtypes: atom ids/bond codes/degree
+                    # all fit uint8 (buckets cap at 256 atoms), and the
+                    # host->device link is the e2e bottleneck on a
+                    # tunneled chip (~50 MB/s); the kernel upcasts on
+                    # device at entry
                     "inv0": inv0,
-                    "adj_atoms": adj_atoms,
-                    "adj_code": adj_code,
+                    "adj_atoms": adj_atoms.astype(np.uint8),
+                    "adj_code": adj_code.astype(np.uint8),
                     "adj_mask": adj_mask.astype(bool),
                     "own_bits": own_bits,
                     "atom_mask": atom_mask.astype(bool),
-                    "degree": degree,
+                    "degree": degree.astype(np.uint8),
                 },
             )
         return out

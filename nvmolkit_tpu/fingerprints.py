@@ -38,6 +38,36 @@ def _chunk_pad(n: int) -> int:
     return min(p, _MORGAN_CHUNK)
 
 
+def _pad_host(x, target: int) -> np.ndarray:
+    """Zero-pad the leading axis to ``target`` rows (host side)."""
+    if x.shape[0] != target:
+        pad = np.zeros((target - x.shape[0],) + x.shape[1:], dtype=x.dtype)
+        x = np.concatenate([x, pad], axis=0)
+    return np.asarray(x)
+
+
+def _put_batch(arrays: tuple, devices=None) -> tuple:
+    """Move a tuple of host arrays to device in ONE device_put call
+    (jax batches pytree transfers; per-array puts each pay a tunnel
+    round trip). Multi-device: rows shard over the 'mols' mesh axis."""
+    import jax
+
+    if devices is not None and len(devices) > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from nvmolkit_tpu.parallel.mesh import MOL_AXIS, data_parallel_mesh
+
+        mesh = data_parallel_mesh(devices)
+        return jax.device_put(
+            arrays,
+            tuple(
+                NamedSharding(mesh, P(MOL_AXIS, *([None] * (a.ndim - 1))))
+                for a in arrays
+            ),
+        )
+    return jax.device_put(arrays)
+
+
 def _pad_rows(x, target: int, devices=None):
     """Zero-pad the leading axis to ``target`` rows and move to device(s).
 
@@ -176,39 +206,83 @@ class MorganFingerprintGenerator:
             )
         from nvmolkit_tpu.ops.morgan import morgan_kernel
 
-        batches = morgan_batches_from_smiles(
-            smiles, opts.atomBuckets, n_threads=num_threads,
-            use_chirality=self.useChirality,
-        )
         from nvmolkit_tpu.parallel.distributed import resolve_devices
 
         devices = resolve_devices(opts.deviceIds) if opts.deviceIds else None
         # every chunk kernel is dispatched independently (no shared
         # output buffer: scatter-assembling chunks into one array chains
         # them by data dependency — measured 3x the kernel time); one
-        # concatenate + row gather reorders at the end
+        # concatenate + row gather reorders at the end.
+        #
+        # Featurization is SLICED so the (host, 1-core) C++ featurizer
+        # overlaps the in-flight device kernels: featurize slice 1,
+        # dispatch it (async), featurize slice 2 while the device chews
+        # on slice 1, ... Serializing all featurization before the first
+        # dispatch left the device idle for the full featurize time
+        # (~1/3 of e2e wall at 10k mols, round-4 profiling).
         chunk_idx: list[np.ndarray] = []
         chunk_fps: list[jnp.ndarray] = []
-        for bucket, (indices, b) in sorted(batches.items()):
-            for start in range(0, len(indices), _MORGAN_CHUNK):
-                sl = slice(start, start + _MORGAN_CHUNK)
-                n = len(indices[sl])
-                pad = _chunk_pad(n)
-                fps = morgan_kernel(
-                    *(
-                        _pad_rows(b[k][sl], pad, devices)
-                        for k in (
-                            "inv0", "adj_atoms", "adj_code", "adj_mask",
-                            "own_bits", "atom_mask", "degree",
-                        )
-                    ),
-                    radius=self.radius,
-                    fp_size=self.fpSize,
-                )
-                chunk_idx.append(indices[sl])
-                chunk_fps.append(fps[:n])
+        slice_len = max(2048, _MORGAN_CHUNK // 4) if len(smiles) > 4096 else len(smiles)
+        for s0 in range(0, len(smiles), max(1, slice_len)):
+            sub = smiles[s0 : s0 + slice_len]
+            batches = morgan_batches_from_smiles(
+                sub, opts.atomBuckets, n_threads=num_threads,
+                use_chirality=self.useChirality,
+            )
+            for bucket, (indices, b) in sorted(batches.items()):
+                for start in range(0, len(indices), _MORGAN_CHUNK):
+                    sl = slice(start, start + _MORGAN_CHUNK)
+                    n = len(indices[sl])
+                    pad = _chunk_pad(n)
+                    # ONE transfer for all 7 feature arrays: each
+                    # device_put pays a full tunnel round trip, and
+                    # per-array puts dominated e2e wall (round-4)
+                    args = _put_batch(
+                        tuple(
+                            _pad_host(b[k][sl], pad)
+                            for k in (
+                                "inv0", "adj_atoms", "adj_code", "adj_mask",
+                                "own_bits", "atom_mask", "degree",
+                            )
+                        ),
+                        devices,
+                    )
+                    fps = morgan_kernel(
+                        *args, radius=self.radius, fp_size=self.fpSize
+                    )
+                    chunk_idx.append(indices[sl] + s0)
+                    chunk_fps.append(fps[:n])
         all_idx = np.concatenate(chunk_idx)
         inv = np.empty(len(smiles), np.int64)
         inv[all_idx] = np.arange(len(all_idx))
-        out = jnp.concatenate(chunk_fps, axis=0)[jnp.asarray(inv)]
-        return AsyncResult(out)
+        # bucket-order -> input-order reordering happens lazily at
+        # materialization: a device row gather of the full output is
+        # ~half the kernel time on TPU (round-4 profiling), while the
+        # same permutation on the fetched host array is ~free
+        return _RowOrderedResult(jnp.concatenate(chunk_fps, axis=0), inv)
+
+
+class _RowOrderedResult(AsyncResult):
+    """AsyncResult whose rows need a final permutation, applied on the
+    host at ``.numpy()`` (free) or on device only if ``.jax()`` is
+    actually requested."""
+
+    def __init__(self, array, order):
+        super().__init__(array)
+        self._order = order
+
+    def numpy(self) -> np.ndarray:
+        out = super().numpy()
+        if self._order is not None:
+            out = np.ascontiguousarray(out[self._order])
+            self._array = out
+            self._order = None
+        return out
+
+    def jax(self):
+        arr = super().jax()
+        if self._order is not None:
+            arr = arr[jnp.asarray(self._order)]
+            self._array = arr
+            self._order = None
+        return arr

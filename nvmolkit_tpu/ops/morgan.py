@@ -121,6 +121,10 @@ def morgan_kernel(
     radius: int,
     fp_size: int,
 ) -> jnp.ndarray:
+    # upcast the narrow transfer dtypes (see native.morgan_batches_from_smiles)
+    adj_atoms = adj_atoms.astype(jnp.int32)
+    adj_code = adj_code.astype(jnp.uint32)
+    degree = degree.astype(jnp.int32)
     B, A, K = adj_atoms.shape
     W = own_bits.shape[-1]
     fp_words = fp_size // 32
