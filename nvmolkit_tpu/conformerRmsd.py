@@ -12,6 +12,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from nvmolkit_tpu.utils.config import working_dtype
+
 import jax.numpy as jnp
 
 from nvmolkit_tpu.chem.mol import Mol
@@ -64,7 +66,7 @@ def GetConformerRMSMatrixBatch(
                 mask[s, : m.num_atoms] = True
         rms = np.asarray(
             conformer_rms_matrices(
-                jnp.asarray(pf.positions, jnp.float32),
+                jnp.asarray(pf.positions, working_dtype()),
                 jnp.asarray(mask),
                 prealigned,
             )
@@ -87,7 +89,7 @@ def GetConformerRMSMatrixBatch(
     out: list[AsyncResult] = []
     for lo in range(0, len(mols), per_launch):
         chunk = mols[lo : lo + per_launch]
-        confs = np.zeros((len(chunk), max_conf, max_atoms, 3), np.float32)
+        confs = np.zeros((len(chunk), max_conf, max_atoms, 3), working_dtype())
         mask = np.zeros((len(chunk), max_atoms), bool)
         for s, m in enumerate(chunk):
             if heavyAtomsOnly:

@@ -150,8 +150,10 @@ def EmbedMolecules(
                 f"molecule {mi} has {m.num_atoms} atoms > largest bucket"
             )
 
+    from nvmolkit_tpu.utils.config import working_dtype as _wd
+
     max_atoms_out = max(b for b in buckets)
-    out_pos = np.zeros((n_mols, confsPerMolecule, max_atoms_out, 3), np.float32)
+    out_pos = np.zeros((n_mols, confsPerMolecule, max_atoms_out, 3), _wd())
     out_conf_mask = np.zeros((n_mols, confsPerMolecule), bool)
     out_atom_mask = np.zeros((n_mols, max_atoms_out), bool)
     for mi, m in enumerate(molecules):
@@ -256,6 +258,19 @@ def _embed_bucket(
 
     devices = resolve_devices(opts.deviceIds if opts is not None else [])
     multi = len(devices) > 1
+
+    # f32 default; f64 end-to-end under NVMOLKIT_X64=1 (the reference
+    # embeds in f64 throughout, src/forcefields/mmff.h:334-341): every
+    # floating array is cast at device-put time so bounds, coordinates
+    # and FF math all run in the working dtype
+    from nvmolkit_tpu.utils.config import working_dtype
+
+    _wdt = working_dtype()
+
+    def _to_working(x):
+        if hasattr(x, "dtype") and np.issubdtype(np.dtype(x.dtype), np.floating):
+            return np.asarray(x, _wdt) if isinstance(x, np.ndarray) else x.astype(_wdt)
+        return x
 
     # host: bounds + chiral sets + double-bond check data per unique molecule
     from nvmolkit_tpu.chem.stereo import (
@@ -463,10 +478,12 @@ def _embed_bucket(
         _mesh = data_parallel_mesh(devices)
 
         def _put(x):
+            x = _to_working(x)
             spec = _P(MOL_AXIS, *([None] * (x.ndim - 1)))
             return _jax.device_put(x, NamedSharding(_mesh, spec))
     else:
-        _put = jnp.asarray
+        def _put(x):
+            return jnp.asarray(_to_working(x))
 
     ub_s = _put(ub_np[sys_mol])
     lb_s = _put(lb_np[sys_mol])

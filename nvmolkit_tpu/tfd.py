@@ -11,6 +11,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from nvmolkit_tpu.utils.config import working_dtype
+
 import jax
 import jax.numpy as jnp
 
@@ -133,18 +135,19 @@ def GetTFDMatrices(
     quartets = np.zeros((M, t_max, q_max, 4), np.int32)
     quartet_mask = np.zeros((M, t_max, q_max), bool)
     types = np.zeros((M, t_max), np.int32)
-    weights = np.zeros((M, t_max), np.float32)  # 0 weight = padded torsion
-    max_dev = np.full((M, t_max), 180.0, np.float32)
+    wdt = working_dtype()  # f32 default; f64 under NVMOLKIT_X64=1
+    weights = np.zeros((M, t_max), wdt)  # 0 weight = padded torsion
+    max_dev = np.full((M, t_max), 180.0, wdt)
     torsion_mask = np.zeros((M, t_max), bool)
     if pf is not None:
-        confs = jnp.asarray(pf.positions, jnp.float32)
+        confs = jnp.asarray(pf.positions, wdt)
         if confs.shape[0] < M:  # multi-device molecule-row padding
             confs = jnp.concatenate(
                 [confs, jnp.zeros((M - confs.shape[0],) + confs.shape[1:],
-                                  jnp.float32)]
+                                  wdt)]
             )
     else:
-        confs = np.zeros((M, c_max, max_atoms, 3), np.float32)
+        confs = np.zeros((M, c_max, max_atoms, 3), wdt)
     for k, (m, ts) in enumerate(zip(mols, torsion_sets)):
         if pf is None:
             for c, coords in enumerate(m.conformers):

@@ -147,3 +147,120 @@ print(json.dumps({
     assert got["pos_dtype"] == "float64", (got, proc.stderr[-500:])
     assert got["e_dtype"] == "float64"
     assert got["converged"]
+
+
+# ---------------------------------------------------------------------------
+# round 4: f64 end-to-end (embed -> optimize -> TFD -> RMSD)
+# ---------------------------------------------------------------------------
+#
+# The reference runs f64 positions/energies through the WHOLE conformer
+# pipeline (src/forcefields/mmff.h:334-341). NVMOLKIT_X64=1 now covers
+# embed, TFD and conformer RMSD in addition to optimize. Tolerances
+# (f32 vs f64 on IDENTICAL conformers — the embed PRNG draws differ by
+# dtype, so pipeline comparisons fix the geometry first):
+#
+#   TFD values       |d| < 1e-5   (torsion angles are arctan2 of
+#                    well-conditioned cross/dot products; f32 error is
+#                    ~1e-6 rad on drug-like torsions)
+#   RMSD values      |d| < 1e-4 A (Kabsch SVD on centered coords)
+
+_E2E_SCRIPT = textwrap.dedent(
+    """
+    import json, sys
+    import numpy as np
+    import nvmolkit_tpu  # must import first so NVMOLKIT_X64 applies
+    import jax.numpy as jnp
+    from nvmolkit_tpu.chem import mol_from_smiles
+    from nvmolkit_tpu.embedMolecules import EmbedMolecules
+    from nvmolkit_tpu.mmffOptimization import MMFFOptimizeMoleculesConfs
+    from nvmolkit_tpu.tfd import GetTFDMatrix
+    from nvmolkit_tpu.conformerRmsd import GetConformerRMSMatrix
+
+    mols = [mol_from_smiles(s) for s in
+            ("CCCCO", "CC(=O)NCC", "c1ccccc1CCO", "CCOC(=O)CC")]
+    res = EmbedMolecules(mols, confsPerMolecule=4, maxIterations=10)
+    assert str(np.asarray(res.positions).dtype) == sys.argv[1], (
+        np.asarray(res.positions).dtype)
+    e, conv = MMFFOptimizeMoleculesConfs(mols, maxIters=100)
+    out = {"dtype": str(np.asarray(res.positions).dtype)}
+    out["tfd"] = [
+        np.asarray(GetTFDMatrix(m).numpy(), np.float64).tolist() for m in mols
+    ]
+    out["rms"] = [
+        np.asarray(GetConformerRMSMatrix(m).numpy(), np.float64).tolist()
+        for m in mols
+    ]
+    out["confs"] = [
+        np.asarray(np.stack(m.conformers), np.float64).tolist() for m in mols
+    ]
+    print("RESULT" + json.dumps(out))
+    """
+)
+
+
+def _run_e2e(x64: bool):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("JAX_ENABLE_X64", None)
+    if x64:
+        env["NVMOLKIT_X64"] = "1"
+    else:
+        env.pop("NVMOLKIT_X64", None)
+    env["PYTHONPATH"] = (
+        str(Path(__file__).resolve().parents[1]) + os.pathsep
+        + env.get("PYTHONPATH", "")
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", _E2E_SCRIPT, "float64" if x64 else "float32"],
+        capture_output=True, text=True, env=env, timeout=900,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    line = [x for x in r.stdout.splitlines() if x.startswith("RESULT")][-1]
+    return json.loads(line[len("RESULT"):])
+
+
+def test_x64_pipeline_end_to_end():
+    """NVMOLKIT_X64=1 carries f64 through embed -> optimize -> TFD ->
+    RMSD (dtype asserted inside the subprocess)."""
+    out = _run_e2e(x64=True)
+    assert out["dtype"] == "float64"
+    # values are finite and in range
+    for row in out["tfd"]:
+        assert all(0.0 <= v <= 1.0 for v in row), row
+    for row in out["rms"]:
+        assert all(v >= 0.0 for v in row), row
+
+
+# module-level cache: the e2e subprocesses take ~1 min each; run once
+_E2E_CACHE: dict = {}
+
+
+def _e2e(x64: bool):
+    if x64 not in _E2E_CACHE:
+        _E2E_CACHE[x64] = _run_e2e(x64)
+    return _E2E_CACHE[x64]
+
+
+def test_tfd_rmsd_f32_vs_f64_on_same_conformers():
+    """TFD / RMSD tolerance rows: compute both precisions on the SAME
+    f64-embedded conformers (cast down for the f32 pass)."""
+    out64 = _e2e(x64=True)
+
+    # recompute TFD + RMSD in this (f32) process on the f64 conformers
+    from nvmolkit_tpu.chem import mol_from_smiles
+    from nvmolkit_tpu.conformerRmsd import GetConformerRMSMatrix
+    from nvmolkit_tpu.tfd import GetTFDMatrix
+
+    smiles = ("CCCCO", "CC(=O)NCC", "c1ccccc1CCO", "CCOC(=O)CC")
+    for mi, smi in enumerate(smiles):
+        m = mol_from_smiles(smi)
+        for conf in out64["confs"][mi]:
+            m.conformers.append(np.asarray(conf, np.float32))
+        tfd32 = np.asarray(GetTFDMatrix(m).numpy(), np.float64)
+        tfd64 = np.asarray(out64["tfd"][mi], np.float64)
+        assert tfd32.shape == tfd64.shape
+        if tfd32.size:
+            assert np.max(np.abs(tfd32 - tfd64)) < 1e-5, (smi, tfd32, tfd64)
+        rms32 = np.asarray(GetConformerRMSMatrix(m).numpy(), np.float64)
+        rms64 = np.asarray(out64["rms"][mi], np.float64)
+        assert np.max(np.abs(rms32 - rms64)) < 1e-4, (smi, rms32, rms64)
