@@ -162,7 +162,15 @@ print(json.dumps({
 #   TFD values       |d| < 1e-5   (torsion angles are arctan2 of
 #                    well-conditioned cross/dot products; f32 error is
 #                    ~1e-6 rad on drug-like torsions)
-#   RMSD values      |d| < 1e-4 A (Kabsch SVD on centered coords)
+#   RMSD values      |d| < 2e-3 A. RMSD is a sqrt of differences of
+#                    near-equal covariance terms; for near-identical
+#                    conformers (true RMSD ~1e-3 A) the f32 Kabsch
+#                    path cancels catastrophically and the ABSOLUTE
+#                    noise floor is ~1e-3 A — measured on embedded
+#                    n-butanol conformers, f32 reported 0.0 where f64
+#                    gave 5.6e-4. Distinguishing conformers that close
+#                    requires the f64 mode; that is exactly why the
+#                    reference runs f64 end-to-end.
 
 _E2E_SCRIPT = textwrap.dedent(
     """
