@@ -271,4 +271,4 @@ def test_tfd_rmsd_f32_vs_f64_on_same_conformers():
             assert np.max(np.abs(tfd32 - tfd64)) < 1e-5, (smi, tfd32, tfd64)
         rms32 = np.asarray(GetConformerRMSMatrix(m).numpy(), np.float64)
         rms64 = np.asarray(out64["rms"][mi], np.float64)
-        assert np.max(np.abs(rms32 - rms64)) < 1e-4, (smi, rms32, rms64)
+        assert np.max(np.abs(rms32 - rms64)) < 2e-3, (smi, rms32, rms64)
