@@ -140,7 +140,7 @@ print(json.dumps({
     env.pop("XLA_FLAGS", None)
     proc = subprocess.run(
         [sys.executable, "-c", prog], capture_output=True, text=True,
-        timeout=600, env=env, cwd=str(Path(__file__).resolve().parents[1]),
+        timeout=900, env=env, cwd=str(Path(__file__).resolve().parents[1]),
     )
     line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
     got = json.loads(line)
