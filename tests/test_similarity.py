@@ -94,3 +94,113 @@ def test_pallas_tanimoto_matches_xla(packed_fps):
     got = np.asarray(cross_tanimoto_pallas(fps, fps, block=128, interpret=True))
     want = cross_similarity_cpu(fps, fps, "tanimoto")
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# round 4: independent scalar oracle + shape/boundary properties
+# ---------------------------------------------------------------------------
+#
+# cross_similarity_cpu is part of the package; the oracle below is
+# implemented HERE from the definition (python ints, bin().count()),
+# so a shared bug cannot hide (the reference's differential strategy,
+# tests/integration/test_fp_sim_workflow.cpp:30-78).
+
+
+def _popcount_rows(fps: np.ndarray) -> list[list[int]]:
+    return [[int(w) for w in row] for row in np.asarray(fps, np.uint32)]
+
+
+def _scalar_tanimoto(a_row, b_row) -> float:
+    inter = sum(bin(x & y).count("1") for x, y in zip(a_row, b_row))
+    union = sum(bin(x | y).count("1") for x, y in zip(a_row, b_row))
+    return inter / union if union else 0.0
+
+
+def _scalar_cosine(a_row, b_row) -> float:
+    inter = sum(bin(x & y).count("1") for x, y in zip(a_row, b_row))
+    na = sum(bin(x).count("1") for x in a_row)
+    nb = sum(bin(x).count("1") for x in b_row)
+    return inter / ((na * nb) ** 0.5) if na and nb else 0.0
+
+
+def _random_fps(rng, n, words, density=0.3):
+    bits = rng.random((n, words * 32)) < density
+    out = np.zeros((n, words), np.uint32)
+    for w in range(words):
+        for b in range(32):
+            out[:, w] |= bits[:, w * 32 + b].astype(np.uint32) << np.uint32(b)
+    return out
+
+
+@pytest.mark.parametrize("n,m,words", [(1, 1, 1), (3, 5, 2), (33, 7, 7),
+                                       (127, 129, 4), (64, 64, 64)])
+def test_scalar_oracle_random_shapes(rng, n, m, words):
+    a = _random_fps(rng, n, words)
+    b = _random_fps(rng, m, words)
+    got_t = crossTanimotoSimilarity(a, b).numpy()
+    got_c = crossCosineSimilarity(a, b).numpy()
+    ar, br = _popcount_rows(a), _popcount_rows(b)
+    for i in range(0, n, max(1, n // 9)):
+        for j in range(0, m, max(1, m // 9)):
+            assert got_t[i, j] == pytest.approx(
+                _scalar_tanimoto(ar[i], br[j]), abs=1e-6
+            ), (n, m, words, i, j)
+            assert got_c[i, j] == pytest.approx(
+                _scalar_cosine(ar[i], br[j]), abs=1e-6
+            )
+
+
+def test_symmetry_and_range(rng):
+    fps = _random_fps(rng, 50, 8)
+    s = crossTanimotoSimilarity(fps).numpy()
+    np.testing.assert_allclose(s, s.T, atol=1e-7)
+    assert (s >= 0).all() and (s <= 1 + 1e-7).all()
+    c = crossCosineSimilarity(fps).numpy()
+    np.testing.assert_allclose(c, c.T, atol=1e-7)
+    assert (c >= 0).all() and (c <= 1 + 1e-6).all()
+    # cosine >= tanimoto pointwise: inter/sqrt(na*nb) >= inter/union
+    # since union = na + nb - inter >= sqrt(na*nb) when inter <= min
+    assert (c >= s - 1e-6).all()
+
+
+def test_all_ones_and_disjoint():
+    ones = np.full((2, 4), 0xFFFFFFFF, np.uint32)
+    s = crossTanimotoSimilarity(ones).numpy()
+    np.testing.assert_allclose(s, 1.0, atol=1e-7)
+    a = np.zeros((1, 2), np.uint32)
+    b = np.zeros((1, 2), np.uint32)
+    a[0, 0] = 0x0F0F0F0F
+    b[0, 0] = 0xF0F0F0F0
+    assert crossTanimotoSimilarity(a, b).numpy()[0, 0] == 0.0
+    assert crossCosineSimilarity(a, b).numpy()[0, 0] == 0.0
+
+
+def test_int32_view_equals_uint32(rng):
+    fps = _random_fps(rng, 20, 4)
+    as_i32 = fps.view(np.int32)
+    np.testing.assert_array_equal(
+        crossTanimotoSimilarity(fps).numpy(),
+        crossTanimotoSimilarity(as_i32).numpy(),
+    )
+
+
+def test_async_result_passthrough(rng):
+    from nvmolkit_tpu.types import AsyncResult
+
+    fps = _random_fps(rng, 10, 4)
+    wrapped = AsyncResult(np.asarray(fps))
+    np.testing.assert_array_equal(
+        crossTanimotoSimilarity(wrapped).numpy(),
+        crossTanimotoSimilarity(fps).numpy(),
+    )
+
+
+def test_memory_constrained_tiny_budget_many_chunks(rng):
+    # budget small enough to force a chunk PER ROW — exercises the
+    # chunk-boundary arithmetic of cross_similarity_chunked
+    fps = _random_fps(rng, 23, 3)
+    full = crossTanimotoSimilarity(fps).numpy()
+    tiny = crossTanimotoSimilarityMemoryConstrained(
+        fps, maxDeviceMemoryBytes=23 * 8
+    )
+    np.testing.assert_allclose(tiny, full, atol=1e-6)
