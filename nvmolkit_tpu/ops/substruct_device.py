@@ -197,6 +197,7 @@ class _DeviceBucket:
     def __init__(self, tids: list[int], tfs: list[TargetFeatures], T: int):
         self.T = T
         self.tids = tids                       # target ids in this bucket
+        self.tids_np = np.asarray(tids, np.int64)
         self.row_of = {t: r for r, t in enumerate(tids)}
         locs = [tfs[t] for t in tids]
         n = len(locs)
@@ -225,6 +226,7 @@ class _DeviceBucket:
         self.adj_host = adj
         self._adj_dev: dict[object, jax.Array] = {}
         self._labels: dict[tuple, np.ndarray] = {}
+        self._packed: dict[tuple, np.ndarray] = {}
 
     def adj_on(self, device) -> jax.Array:
         arr = self._adj_dev.get(device)
@@ -248,6 +250,18 @@ class _DeviceBucket:
             self._labels[key] = out
         return out
 
+    def packed_labels_for(self, q: QueryMol, cq: CompiledQuery) -> np.ndarray:
+        """Bit-packed ``labels_for`` (little-endian), cached — packbits
+        over an 8k-target bucket measured ~2 ms per query per search."""
+        key = (q.smarts or id(q), cq.nq)
+        out = self._packed.get(key)
+        if out is None:
+            out = np.packbits(
+                self.labels_for(q, cq), axis=2, bitorder="little"
+            )
+            self._packed[key] = out
+        return out
+
 
 class DeviceTargetLibrary:
     """Bucketed, device-cached compilation of a target set.
@@ -266,6 +280,16 @@ class DeviceTargetLibrary:
         # search observes a query's max match count, repeated searches
         # extract at that width up front and skip the rescue wave
         self.spec_hint: dict[object, int] = {}
+        # learned per-launch TOTAL match counts: warm searches compact
+        # every match row into one flat buffer sized by the hint and
+        # fetch exactly sum(counts) rows (see _extract_flat)
+        self.flat_hint: dict[tuple, int] = {}
+        # device-resident join inputs keyed by (query, bucket, chunk,
+        # device): for a cached library they are search-invariant, and
+        # re-uploading them dominated warm dispatch over the tunneled
+        # link (~6 MB/search at ~50 MB/s) — the reference's
+        # consolidated-buffer reuse (``gpu_executor.h:25-56``)
+        self.launch_inputs: dict[tuple, tuple] = {}
         by_T: dict[int, list[int]] = {}
         self.oversized: set[int] = set()
         for ti, tf in enumerate(tfs):
@@ -435,6 +459,76 @@ def _device_gsi_join(packed, adj_stack, adj_rows, back_slot, back_mask,
     return frontier, counts, overflow
 
 
+@partial(jax.jit, static_argnames=("T",))
+def _dedup_frontier(frontier, counts, T):
+    """Device-side uniquify (RDKit semantics: dedup complete matches by
+    matched-atom SET, keeping the first occurrence — the role of the
+    host ``uniquify_rows``). Each match row's atom set is canonicalized
+    by an in-row sort and packed into ceil(Q/4) int32 keys (every atom
+    id < 256 fits 8 bits — all T buckets are <= 256); a row is a
+    duplicate iff an earlier valid row has identical keys. Survivors
+    recompact to a prefix with the same rank arithmetic as the join.
+
+    Returns (frontier', counts'). Runs entirely on device so the block
+    assembly path serves ``uniquify=True`` with no host dedup loop.
+    """
+    B, P, Q = frontier.shape
+    srt = jnp.sort(frontier, axis=2) + 1                  # [-1 pad -> 0]
+    K = -(-Q // 4)
+    pad = K * 4 - Q
+    if pad:
+        srt = jnp.pad(srt, ((0, 0), (0, 0), (0, pad)))
+    packs = srt.reshape(B, P, K, 4).astype(jnp.int32)
+    keys = (
+        packs[..., 0]
+        | (packs[..., 1] << 8)
+        | (packs[..., 2] << 16)
+        | (packs[..., 3] << 24)
+    )                                                     # [B, P, K]
+    eq = jnp.ones((B, P, P), bool)
+    for k in range(K):
+        eq &= keys[:, :, None, k] == keys[:, None, :, k]
+    valid = jnp.arange(P)[None, :] < counts[:, None]      # [B, P]
+    earlier = jnp.arange(P)[None, :, None] > jnp.arange(P)[None, None, :]
+    dup = jnp.any(eq & earlier & valid[:, None, :], axis=2)
+    keep = valid & ~dup
+    # prefix recompaction (rank arithmetic; one-hot row permute on MXU —
+    # frontier+1 values <= 256, exact in bf16)
+    kf = keep.astype(jnp.float32)
+    o = jnp.cumsum(kf, axis=1) - kf
+    k_iota = jnp.arange(P, dtype=jnp.float32)
+    sel = keep[:, None, :] & (
+        jnp.abs(o[:, None, :] - k_iota[None, :, None]) < 0.5
+    )                                                     # [B, Pout, Pin]
+    nf = jnp.einsum(
+        "bkp,bpq->bkq", sel.astype(jnp.bfloat16),
+        (frontier + 1).astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+    nf = jnp.round(nf).astype(jnp.int32) - 1
+    new_counts = jnp.sum(keep, axis=1, dtype=jnp.int32)
+    return nf, new_counts
+
+
+@partial(jax.jit, static_argnames=("cap", "nqm", "small"))
+def _extract_flat(frontier, counts, cap, nqm, small):
+    """Compact every valid match row of the launch into ONE flat
+    [cap, nqm] buffer (per-pair prefix order preserved): the fetch then
+    moves exactly sum(counts) rows instead of a per-pair padded width —
+    used on warm searches where the library has learned the launch's
+    total. The nonzero+row-gather lowers fine on TPU (the 17 s/launch
+    gather pathology is per-CELL dynamic indexing inside the join loop,
+    not a single bulk row gather)."""
+    B, P, Q = frontier.shape
+    valid = (jnp.arange(P)[None, :] < counts[:, None]).ravel()
+    idx = jnp.nonzero(valid, size=cap, fill_value=B * P)[0]
+    rows = frontier.reshape(B * P, Q)[:, :nqm].astype(
+        jnp.int8 if small else jnp.int16
+    )
+    rows = jnp.concatenate([rows, jnp.full((1, nqm), -1, rows.dtype)], 0)
+    return jnp.take(rows, idx, axis=0)
+
+
 @partial(jax.jit, static_argnames=("maxc", "nqm", "small"))
 def _extract(frontier, maxc, nqm, small):
     """Slice the top ``maxc`` match rows x first ``nqm`` slots of a
@@ -457,23 +551,6 @@ def _extract(frontier, maxc, nqm, small):
 @jax.jit
 def _concat0(xs):
     return jnp.concatenate(xs, axis=0)
-
-
-def uniquify_rows(rows: np.ndarray, max_matches: int) -> tuple[np.ndarray, bool]:
-    """Dedup matches by matched-atom set (RDKit uniquify semantics) and
-    cap at max_matches. Returns (rows, overflowed_by_cap)."""
-    if len(rows):
-        seen: set[frozenset] = set()
-        keep = []
-        for r, row in enumerate(rows):
-            key = frozenset(row.tolist())
-            if key not in seen:
-                seen.add(key)
-                keep.append(r)
-        rows = rows[keep]
-    if len(rows) > max_matches:
-        return rows[:max_matches], True
-    return rows, False
 
 
 @partial(jax.jit, static_argnames=("slot0", "T"))
@@ -561,20 +638,23 @@ def _ensure_recursive_masks(
 class _Launch:
     """One dispatched join: bookkeeping to decode its fetched slice."""
 
-    pairs: list[tuple[int, int]]   # (target_idx, query_idx), launch order
+    tids: np.ndarray               # [n] target indices, launch order
+    qi: int                        # query index (one query per launch)
     cq: CompiledQuery
     T: int                         # target atom bucket
     qkey: object                   # spec-hint key (query SMARTS)
+    hint_key: tuple                # flat-extraction total-hint key
     frontier: jax.Array            # [B, P, Q] device-resident
     counts_dev: jax.Array
     overflow_dev: jax.Array
     extract_dev: jax.Array | None
     n: int                         # live pairs (<= B)
     spec_w: int = 0                # speculative extraction width
+    flat_cap: int = 0              # >0: extract_dev is a flat buffer
 
 
 def device_substruct_matches(
-    pairs: list[tuple[int, int]],
+    pairs: list[tuple[int, int]] | None,
     tfs: list[TargetFeatures],
     qmols: list[QueryMol],
     compiled: list[CompiledQuery | None],
@@ -593,11 +673,14 @@ def device_substruct_matches(
     set[tuple[int, int]],
     set[tuple[int, int]],
 ]:
-    """Run the device join over (target_idx, query_idx) pairs.
+    """Run the device join over (target_idx, query_idx) pairs
+    (``pairs=None`` = the full targets x queries grid, the fast path).
 
     Returns (matches dict, unresolved pairs, capped pairs). Unresolved =
     overflowed frontier, oversized target/degree, or unsupported query —
-    callers drain those through a host engine. Capped = resolved but
+    callers drain those through a host engine. With ``pairs=None`` the
+    unresolved set covers only attempted pairs; full-grid callers must
+    treat missing keys/blocks as host work (``counts < 0`` fill). Capped = resolved but
     truncated at ``max_matches`` (reported as overflowed, reference
     behavior). With ``counts_only`` the matches dict maps each pair to
     an int count instead of a row array (no frontier fetch at all).
@@ -614,8 +697,6 @@ def device_substruct_matches(
 
     debug = bool(os.environ.get("NVMOLKIT_SUBSTRUCT_DEBUG"))
     _t0 = _time.perf_counter()
-    if return_blocks and uniquify:
-        raise ValueError("return_blocks requires uniquify=False")
     if library is None:
         from nvmolkit_tpu.utils.config import HardwareOptions
 
@@ -627,25 +708,43 @@ def device_substruct_matches(
     capped: set[tuple[int, int]] = set()
     results: dict[tuple[int, int], np.ndarray] = {}
 
-    # group pairs by (T, Q, E) shape bucket, then by query within it
-    grouped: dict[tuple[int, int, int], dict[int, list[int]]] = {}
-    for ti, qi in pairs:
-        cq = compiled[qi]
-        if (
-            cq is None
-            or (cq.has_recursive and not cq.recursive_ok)
-            or ti in library.oversized
-        ):
-            unresolved.add((ti, qi))
-            continue
-        tf = tfs[ti]
-        T = next(b for b in library.t_buckets if tf.n_atoms <= b)
-        Q = next(b for b in QUERY_BUCKETS if cq.nq <= b)
-        grouped.setdefault((T, Q, cq.n_edges), {}).setdefault(qi, []).append(ti)
+    # group work by (T, Q, E) shape bucket, then by query within it.
+    # pairs=None means the full (targets x queries) grid — the common
+    # case — and skips per-pair python entirely (a 65k-pair grid
+    # measured ~0.2 s of list/dict work per search, the warm-dispatch
+    # floor before this fast path)
+    grouped: dict[tuple[int, int, int], dict[int, np.ndarray | None]] = {}
+    if pairs is None:
+        for qi, cq in enumerate(compiled):
+            if cq is None or (cq.has_recursive and not cq.recursive_ok):
+                continue
+            Q = next(b for b in QUERY_BUCKETS if cq.nq <= b)
+            for T in library.t_groups:
+                grouped.setdefault((T, Q, cq.n_edges), {})[qi] = None
+    else:
+        by_pair: dict[tuple[int, int, int], dict[int, list[int]]] = {}
+        for ti, qi in pairs:
+            cq = compiled[qi]
+            if (
+                cq is None
+                or (cq.has_recursive and not cq.recursive_ok)
+                or ti in library.oversized
+            ):
+                unresolved.add((ti, qi))
+                continue
+            tf = tfs[ti]
+            T = next(b for b in library.t_buckets if tf.n_atoms <= b)
+            Q = next(b for b in QUERY_BUCKETS if cq.nq <= b)
+            by_pair.setdefault((T, Q, cq.n_edges), {}).setdefault(
+                qi, []
+            ).append(ti)
+        grouped = {
+            k: {qi: np.asarray(tids) for qi, tids in v.items()}
+            for k, v in by_pair.items()
+        }
 
     # ---- wave 1: dispatch all joins + speculative extracts ----------
     launches: list[_Launch] = []
-    prefiltered: list[tuple[int, int]] = []
     direct_blocks: list[tuple] = []
     dev_cycle = 0
     for (T, Q, E), by_query in grouped.items():
@@ -660,24 +759,43 @@ def device_substruct_matches(
                     bucket, qmols[qi], T, P, devices[dev_cycle % len(devices)],
                     library,
                 ):
-                    unresolved.update((int(t), qi) for t in tids)
+                    if tids is not None:
+                        unresolved.update((int(t), qi) for t in tids)
+                    # full-grid callers detect the gap via missing
+                    # blocks (counts < 0) and drain to a host engine
                     continue
             labs = bucket.labels_for(qmols[qi], cq)  # [Nb, nq, T]
-            rows_all = np.asarray([bucket.row_of[t] for t in tids], np.int32)
+            if tids is None:
+                tids_arr = bucket.tids_np
+                rows_all = np.arange(len(tids_arr), dtype=np.int32)
+                tids_key = "all"
+            else:
+                tids_arr = np.asarray(tids, np.int64)
+                rows_all = np.asarray(
+                    [bucket.row_of[t] for t in tids], np.int32
+                )
+                tids_key = hash(tids_arr.tobytes())
             # host prefilter: a pair whose label matrix has an empty
             # column can never match — skip it (vectorized; the
             # reference prunes the same way via its label matrix)
             nonempty = labs.any(axis=2).all(axis=1)           # [Nb]
             live = nonempty[rows_all]
-            for ti in np.asarray(tids)[~live]:
+            dead = tids_arr[~live]
+            if len(dead):
                 if return_blocks:
-                    prefiltered.append((int(ti), qi))
+                    direct_blocks.append((
+                        dead.astype(np.int64),
+                        np.full(len(dead), qi, np.int64),
+                        np.zeros(len(dead), np.int64),
+                        None if counts_only else np.zeros((0, cq.nq), np.int32),
+                        cq.nq,
+                    ))
                 else:
-                    results[(int(ti), qi)] = (
-                        0 if counts_only else np.zeros((0, cq.nq), np.int32)
-                    )
-            live_tids = [t for t, ok in zip(tids, live) if ok]
-            if not live_tids:
+                    empty = 0 if counts_only else np.zeros((0, cq.nq), np.int32)
+                    for ti in dead:
+                        results[(int(ti), qi)] = empty
+            live_tids = tids_arr[live].astype(np.int64)
+            if not len(live_tids):
                 continue
             live_rows = rows_all[live]
             if cq.nq == 1:
@@ -692,7 +810,7 @@ def device_substruct_matches(
                     cnts = np.minimum(cnts, max_matches)
                     if return_blocks:
                         direct_blocks.append((
-                            np.asarray(live_tids, np.int64),
+                            live_tids,
                             np.full(len(live_tids), qi, np.int64),
                             cnts, None, 0,
                         ))
@@ -710,7 +828,7 @@ def device_substruct_matches(
                     cnts = np.minimum(cnts, max_matches)
                 if return_blocks:
                     direct_blocks.append((
-                        np.asarray(live_tids, np.int64),
+                        live_tids,
                         np.full(len(live_tids), qi, np.int64),
                         cnts, flat, 1,
                     ))
@@ -719,40 +837,49 @@ def device_substruct_matches(
                     for k, t in enumerate(live_tids):
                         results[(int(t), qi)] = parts[k]
                 continue
-            packed_all = np.packbits(
-                labs, axis=2, bitorder="little"
-            )                                                 # [Nb, nq, W']
+            packed_all = bucket.packed_labels_for(qmols[qi], cq)
+            qkey = qmols[qi].smarts or id(qmols[qi])
             for start in range(0, len(live_tids), launch_pairs):
                 sl = slice(start, min(start + launch_pairs, len(live_tids)))
                 n = sl.stop - sl.start
-                B = next(
-                    (b for b in _B_LADDER if b >= n and b <= launch_pairs),
-                    launch_pairs,
-                )
-                packed = np.zeros((B, Q, W), np.uint8)
-                packed[:n, : cq.nq, : packed_all.shape[2]] = (
-                    packed_all[live_rows[sl]]
-                )
-                adj_rows = np.zeros(B, np.int32)
-                adj_rows[:n] = live_rows[sl]
-                back_slot = np.full((B, Q, E), -1, np.int32)
-                back_slot[:, : cq.nq] = cq.back_slot
-                back_mask = np.zeros((B, Q, E), np.uint16)
-                back_mask[:, : cq.nq] = cq.back_mask
-                nq_arr = np.full(B, cq.nq, np.int32)
                 device = devices[dev_cycle % len(devices)]
                 dev_cycle += 1
+                ckey = (qkey, T, Q, E, tids_key, start, launch_pairs, id(device))
+                args = library.launch_inputs.get(ckey)
+                if args is None:
+                    B = next(
+                        (b for b in _B_LADDER if b >= n and b <= launch_pairs),
+                        launch_pairs,
+                    )
+                    packed = np.zeros((B, Q, W), np.uint8)
+                    packed[:n, : cq.nq, : packed_all.shape[2]] = (
+                        packed_all[live_rows[sl]]
+                    )
+                    adj_rows = np.zeros(B, np.int32)
+                    adj_rows[:n] = live_rows[sl]
+                    back_slot = np.full((B, Q, E), -1, np.int32)
+                    back_slot[:, : cq.nq] = cq.back_slot
+                    back_mask = np.zeros((B, Q, E), np.uint16)
+                    back_mask[:, : cq.nq] = cq.back_mask
+                    nq_arr = np.full(B, cq.nq, np.int32)
+                    args = jax.device_put(
+                        (packed, adj_rows, back_slot, back_mask, nq_arr),
+                        device,
+                    )
+                    library.launch_inputs[ckey] = args
                 adj_dev = bucket.adj_on(device)
-                args = jax.device_put(
-                    (packed, adj_rows, back_slot, back_mask, nq_arr), device
-                )
                 frontier, counts, over = _device_gsi_join(
                     args[0], adj_dev, args[1], args[2], args[3], args[4],
                     T, P,
                 )
+                if uniquify and cq.nq > 1:
+                    # dedup by matched-atom set ON DEVICE (single-atom
+                    # queries are unique by construction)
+                    frontier, counts = _dedup_frontier(frontier, counts, T)
                 launches.append(_Launch(
-                    pairs=[(int(t), qi) for t in live_tids[sl]],
-                    cq=cq, T=T, qkey=qmols[qi].smarts or id(qmols[qi]),
+                    tids=live_tids[sl], qi=qi,
+                    cq=cq, T=T, qkey=qkey,
+                    hint_key=(qkey, T, tids_key, start, uniquify),
                     frontier=frontier, counts_dev=counts,
                     overflow_dev=over, extract_dev=None, n=n,
                 ))
@@ -762,21 +889,30 @@ def device_substruct_matches(
         if overlap_fn is not None:
             overlap_fn()
         if return_blocks:
-            blocks = list(direct_blocks)
-            return _prefiltered_blocks(blocks, prefiltered, counts_only), \
-                unresolved, capped
+            return list(direct_blocks), unresolved, capped
         return results, unresolved, capped
 
-    # speculative extraction: common trailing shape (nqm, dtype) across
-    # launches so same-width extracts concatenate into one fetched
-    # buffer; int8 is safe iff every T bucket keeps atom ids < 128.
-    # Width per launch = the library's learned per-query hint when one
-    # exists (repeated searches then skip the rescue wave entirely).
-    nqm = max(ln.cq.nq for ln in launches)
+    # speculative extraction: extracts sharing a (width, query-slot)
+    # trailing shape concatenate into one fetched buffer; int8 is safe
+    # iff every T bucket keeps atom ids < 128. Width per launch = the
+    # library's learned per-query hint when one exists (repeated
+    # searches then skip the rescue wave entirely). Slot width is the
+    # launch's own query size — padding every launch to the global max
+    # measured ~2x the fetch bytes on mixed-size query screens.
     small = max(ln.T for ln in launches) <= 128
     spec = max(1, min(speculative_cap, P))
     if not counts_only:
         for ln in launches:
+            fhint = library.flat_hint.get(ln.hint_key)
+            if fhint is not None:
+                # warm path: flat-compact to exactly the learned total
+                B = ln.counts_dev.shape[0]
+                cap = 1 << max(8, int(np.ceil(np.log2(max(1, fhint)))))
+                ln.flat_cap = min(cap, B * P)
+                ln.extract_dev = _extract_flat(
+                    ln.frontier, ln.counts_dev, ln.flat_cap, ln.cq.nq, small
+                )
+                continue
             hint = library.spec_hint.get(ln.qkey)
             if hint is None or hint <= spec:
                 ln.spec_w = spec
@@ -784,7 +920,7 @@ def device_substruct_matches(
                 ln.spec_w = min(
                     next((w for w in _RESCUE_LADDER if w >= hint), P), P
                 )
-            ln.extract_dev = _extract(ln.frontier, ln.spec_w, nqm, small)
+            ln.extract_dev = _extract(ln.frontier, ln.spec_w, ln.cq.nq, small)
 
     if overlap_fn is not None:
         # host work (e.g. the native-engine drain of device-unsupported
@@ -808,12 +944,20 @@ def device_substruct_matches(
             counts_np, over_np = jax.device_get((counts_cat, over_cat))
             ext_groups_np = {}
         else:
-            widths = sorted({ln.spec_w for ln in dev_launches})
+            # flat extracts group by trailing [nq] (their caps differ but
+            # axis-0 concat only needs matching trailing dims); padded
+            # extracts group by (width, nq)
+            def _gk(ln):
+                return (
+                    (-1, ln.cq.nq) if ln.flat_cap else (ln.spec_w, ln.cq.nq)
+                )
+
+            gkeys = sorted({_gk(ln) for ln in dev_launches})
             ext_cats = {
-                w: _concat0([
-                    ln.extract_dev for ln in dev_launches if ln.spec_w == w
+                g: _concat0([
+                    ln.extract_dev for ln in dev_launches if _gk(ln) == g
                 ])
-                for w in widths
+                for g in gkeys
             }
             counts_np, over_np, ext_groups_np = jax.device_get(
                 (counts_cat, over_cat, ext_cats)
@@ -824,9 +968,11 @@ def device_substruct_matches(
             B = ln.counts_dev.shape[0]
             ext = None
             if not counts_only:
-                g = group_off[ln.spec_w]
-                ext = ext_groups_np[ln.spec_w][g:g + B]
-                group_off[ln.spec_w] = g + B
+                gk = _gk(ln)
+                g = group_off[gk]
+                rows = ln.flat_cap or B
+                ext = ext_groups_np[gk][g:g + rows]
+                group_off[gk] = g + rows
             fetched[id(ln)] = (
                 counts_np[off:off + B],
                 over_np[off:off + B],
@@ -841,34 +987,49 @@ def device_substruct_matches(
     # bytes actually needed on benzene-like high-multiplicity queries)
     rescue: list[tuple[_Launch, jax.Array]] = []
     if not counts_only:
-        need_w = 0
         for ln in launches:
             counts_np, over_np, _ = fetched[id(ln)]
             mx = int(counts_np[:ln.n].max(initial=0))
-            # remember this query's match-count ceiling for next time
-            prev = library.spec_hint.get(ln.qkey, 0)
-            if mx > prev:
+            tot = int(counts_np[:ln.n].sum())
+            # remember this query's per-pair ceiling and this launch's
+            # total for next time
+            if mx > library.spec_hint.get(ln.qkey, 0):
                 library.spec_hint[ln.qkey] = mx
-            if mx > ln.spec_w:
-                need_w = max(need_w, mx)
-        if need_w:
-            width = next((w for w in _RESCUE_LADDER if w >= need_w), P)
-            width = min(width, P)
-            for ln in launches:
-                counts_np, _over, _ = fetched[id(ln)]
-                if int(counts_np[:ln.n].max(initial=0)) > ln.spec_w:
-                    rescue.append(
-                        (ln, _extract(ln.frontier, width, nqm, small))
-                    )
+            if tot > library.flat_hint.get(ln.hint_key, -1):
+                library.flat_hint[ln.hint_key] = tot
+            if ln.flat_cap:
+                if tot > ln.flat_cap:
+                    # under-provisioned flat buffer: re-extract flat at
+                    # the now-known exact total
+                    B = ln.counts_dev.shape[0]
+                    cap = 1 << int(np.ceil(np.log2(max(1, tot))))
+                    ln.flat_cap = min(cap, B * P)
+                    rescue.append((ln, _extract_flat(
+                        ln.frontier, ln.counts_dev, ln.flat_cap,
+                        ln.cq.nq, small,
+                    )))
+            elif mx > ln.spec_w:
+                width = next((w for w in _RESCUE_LADDER if w >= mx), P)
+                rescue.append((
+                    ln,
+                    _extract(ln.frontier, min(width, P), ln.cq.nq, small),
+                ))
         if rescue:
-            full_cat = _concat0([ext for _ln, ext in rescue])
-            full_np = jax.device_get(full_cat)
-            off = 0
+            # one device_get; same-shaped rescues concatenate
+            gkeys = sorted({e.shape[1:] for _ln, e in rescue})
+            cats = {
+                g: _concat0([e for _ln, e in rescue if e.shape[1:] == g])
+                for g in gkeys
+            }
+            cats_np = jax.device_get(cats)
+            group_off = dict.fromkeys(cats_np, 0)
             for ln, ext in rescue:
+                gk = ext.shape[1:]
                 B = ext.shape[0]
+                g = group_off[gk]
                 c, o, _ = fetched[id(ln)]
-                fetched[id(ln)] = (c, o, full_np[off:off + B])
-                off += B
+                fetched[id(ln)] = (c, o, cats_np[gk][g:g + B])
+                group_off[gk] = g + B
 
     _t3 = _time.perf_counter()
     # ---- decode (vectorized per launch) -----------------------------
@@ -884,49 +1045,44 @@ def device_substruct_matches(
         over_np = over_np[:n]
         if over_np.any():
             for b in np.nonzero(over_np)[0]:
-                unresolved.add(ln.pairs[b])
+                unresolved.add((int(ln.tids[b]), ln.qi))
         if counts_only:
             cap_mask = counts_np > max_matches
             if cap_mask.any():
                 for b in np.nonzero(cap_mask & ~over_np)[0]:
-                    capped.add(ln.pairs[b])
+                    capped.add((int(ln.tids[b]), ln.qi))
                 counts_np = np.minimum(counts_np, max_matches)
             if return_blocks:
                 live = ~over_np
-                ti_arr = np.fromiter(
-                    (t for t, _ in ln.pairs), np.int64, n
-                )[live]
-                qi = ln.pairs[0][1]
+                ti_arr = ln.tids[live]
                 blocks.append((
-                    ti_arr, np.full(len(ti_arr), qi, np.int64),
+                    ti_arr, np.full(len(ti_arr), ln.qi, np.int64),
                     counts_np[live], None, 0,
                 ))
             else:
-                for b, key in enumerate(ln.pairs):
+                for b, t in enumerate(ln.tids):
                     if not over_np[b]:
-                        results[key] = int(counts_np[b])
+                        results[(int(t), ln.qi)] = int(counts_np[b])
             continue
-        maxc = ext_np.shape[1]
-        arr = ext_np[:n, :, : cq.nq]                     # [n, maxc, nq]
-        kept = np.minimum(counts_np, maxc)
-        keep = np.arange(maxc)[None, :] < kept[:, None]
-        flat = arr.reshape(-1, cq.nq)[keep.ravel()].astype(np.int32)
+        if ln.flat_cap:
+            # flat-compacted extract: rows are exactly the matches, in
+            # per-pair prefix order (rescue guaranteed total <= cap)
+            kept = counts_np
+            total = int(kept.sum())
+            flat = ext_np[:total].astype(np.int32)
+        else:
+            maxc = ext_np.shape[1]
+            arr = ext_np[:n, :, : cq.nq]                 # [n, maxc, nq]
+            kept = np.minimum(counts_np, maxc)
+            keep = np.arange(maxc)[None, :] < kept[:, None]
+            flat = arr.reshape(-1, cq.nq)[keep.ravel()].astype(np.int32)
         flat = flat[:, cq.perm]                          # query-atom order
-        if uniquify:
-            splits = np.cumsum(kept)[:-1]
-            per_pair = np.split(flat, splits)
-            for b, key in enumerate(ln.pairs):
-                if over_np[b]:
-                    continue
-                rows, was_capped = uniquify_rows(per_pair[b], max_matches)
-                if was_capped:
-                    capped.add(key)
-                results[key] = rows
-            continue
+        # uniquify already happened on device (_dedup_frontier): decode
+        # is identical for both modes from here on
         cap_mask = kept > max_matches
         if cap_mask.any():
             for b in np.nonzero(cap_mask & ~over_np)[0]:
-                capped.add(ln.pairs[b])
+                capped.add((int(ln.tids[b]), ln.qi))
             # re-split and truncate only when a cap actually bit
             splits = np.cumsum(kept)[:-1]
             per_pair = np.split(flat, splits)
@@ -941,20 +1097,17 @@ def device_substruct_matches(
             kept = kept * keep_pairs
         if return_blocks:
             live = ~over_np
-            ti_arr = np.fromiter(
-                (t for t, _ in ln.pairs), np.int64, n
-            )[live]
-            qi = ln.pairs[0][1]
+            ti_arr = ln.tids[live]
             blocks.append((
-                ti_arr, np.full(len(ti_arr), qi, np.int64),
+                ti_arr, np.full(len(ti_arr), ln.qi, np.int64),
                 kept[live], flat, cq.nq,
             ))
         else:
             splits = np.cumsum(kept)[:-1]
             per_pair = np.split(flat, splits)
-            for b, key in enumerate(ln.pairs):
+            for b, t in enumerate(ln.tids):
                 if not over_np[b]:
-                    results[key] = per_pair[b]
+                    results[(int(t), ln.qi)] = per_pair[b]
     if debug:
         _t4 = _time.perf_counter()
         print(
@@ -963,18 +1116,5 @@ def device_substruct_matches(
             f"rescue={_t3 - _t2:.3f}s decode={_t4 - _t3:.3f}s"
         )
     if return_blocks:
-        return _prefiltered_blocks(blocks, prefiltered, counts_only), \
-            unresolved, capped
+        return blocks, unresolved, capped
     return results, unresolved, capped
-
-
-def _prefiltered_blocks(blocks: list, prefiltered: list, counts_only: bool):
-    """Append the label-prefiltered (zero-match) pairs as one block."""
-    if prefiltered:
-        ti_arr = np.fromiter((t for t, _ in prefiltered), np.int64)
-        qi_arr = np.fromiter((q for _, q in prefiltered), np.int64)
-        blocks.append((
-            ti_arr, qi_arr, np.zeros(len(prefiltered), np.int64),
-            None if counts_only else np.zeros((0, 1), np.int32), 1,
-        ))
-    return blocks

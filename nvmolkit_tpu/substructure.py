@@ -222,9 +222,9 @@ def getSubstructMatches(
     device_blocks: list | None = None
     device_capped: set[tuple[int, int]] = set()
     device_qis: set[int] = set()
-    device_counts_only = (
-        _counts_only and not cfg.uniquify and cfg.maxMatches <= 0
-    )
+    # uniquify runs on device (_dedup_frontier) so counts-only and the
+    # block assembly path serve it too
+    device_counts_only = _counts_only and cfg.maxMatches <= 0
     use_blocks = False
     if cfg.useDeviceEngine and cfg.algorithm == SubstructAlgorithm.GSI:
         import jax
@@ -245,10 +245,7 @@ def getSubstructMatches(
             qi for qi, c in enumerate(compiled)
             if c is not None and (not c.has_recursive or c.recursive_ok)
         }
-        all_pairs = [
-            (ti, qi) for ti in range(len(tfs)) for qi in range(len(qmols))
-        ]
-        use_blocks = not cfg.uniquify
+        use_blocks = True
 
         drain_out: dict = {}
 
@@ -282,7 +279,7 @@ def getSubstructMatches(
             }
 
         out, _unresolved, device_capped = device_substruct_matches(
-            all_pairs, tfs, qmols, compiled,
+            None, tfs, qmols, compiled,
             max_matches=mm, uniquify=cfg.uniquify,
             frontier_cap=cfg.deviceFrontierCap,
             library=library.device_library(tfs) if library else None,
@@ -527,7 +524,7 @@ def hasSubstructMatch(
     cfg = config or SubstructSearchConfig()
     if cfg.useDeviceEngine is None:
         cfg = dataclasses.replace(cfg, useDeviceEngine=_accelerator_present())
-    if cfg.useDeviceEngine and not cfg.uniquify and cfg.maxMatches <= 0:
+    if cfg.useDeviceEngine and cfg.maxMatches <= 0:
         # counts-only device path: no frontier fetch at all
         return (
             getSubstructMatches(targets, queries, cfg, _counts_only=True)

@@ -141,3 +141,57 @@ def test_bond_code_mask_semantics():
     q2 = parse_smarts("C@C")        # ring bond
     m2 = _bond_code_mask(q2.bonds[0])
     assert (m2 >> 9) & 1 and not ((m2 >> 1) & 1)
+
+
+def test_repeated_library_search_flat_path_and_uniquify():
+    """Warm searches on a cached SubstructLibrary take the flat
+    extraction path (learned total hints) and the device uniquify
+    kernel; results must be identical across cold/warm runs, modes,
+    and engines."""
+    from nvmolkit_tpu.chem.smarts import QueryMol
+    from nvmolkit_tpu.ops.substruct import find_matches
+    from nvmolkit_tpu.substructure import SubstructLibrary
+
+    mols = [mol_from_smiles(s) for s in TARGETS]
+    lib = SubstructLibrary(mols)
+    for uniq in (False, True):
+        cfg = SubstructSearchConfig(
+            useDeviceEngine=True, useNativeEngine=False, uniquify=uniq
+        )
+        runs = [getSubstructMatches(lib, QUERIES, cfg) for _ in range(3)]
+        for ti in range(len(TARGETS)):
+            for qi in range(len(QUERIES)):
+                ref, _ = find_matches(
+                    parse_smarts(QUERIES[qi]),
+                    featurize_target(mols[ti]),
+                    uniquify=uniq,
+                )
+                want = _match_sets([np.asarray(r) for r in ref])
+                for res in runs:
+                    got = _match_sets(
+                        [np.asarray(m) for m in res.matches(ti, qi)]
+                    )
+                    assert got == want, (ti, qi, uniq)
+                if uniq:
+                    # uniquify = dedup by atom set: row count == set count
+                    for res in runs:
+                        assert len(res.matches(ti, qi)) == len(want)
+
+
+def test_device_counts_with_uniquify():
+    from nvmolkit_tpu.substructure import countSubstructMatches
+
+    mols = [mol_from_smiles(s) for s in TARGETS]
+    for uniq in (False, True):
+        dev = countSubstructMatches(
+            mols, QUERIES,
+            SubstructSearchConfig(
+                useDeviceEngine=True, useNativeEngine=False, uniquify=uniq
+            ),
+        )
+        host = countSubstructMatches(
+            mols, QUERIES,
+            SubstructSearchConfig(useDeviceEngine=False, useNativeEngine=False,
+                                  uniquify=uniq),
+        )
+        np.testing.assert_array_equal(dev, host)
