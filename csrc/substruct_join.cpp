@@ -286,6 +286,96 @@ void find_matches(const Inputs& in, const GraphSpec& g, int32_t t_idx,
   }
 }
 
+// VF2-style depth-first matcher: enumerates every complete assignment
+// with an explicit candidate stack (the reference's second algorithm,
+// substruct_algos.cuh:95-250 vf2SearchGPU). Same slot order and
+// candidate order (ascending target atom) as the Python oracle
+// ops/substruct.find_matches_vf2, so results agree row-for-row;
+// overflow semantics mirror that oracle (flag set when the uniquified
+// match count reaches max_matches). No frontier, so kMaxFrontier never
+// applies — high-multiplicity pairs that overflow the BFS join resolve
+// here.
+void find_matches_vf2(const Inputs& in, const GraphSpec& g, int32_t t_idx,
+                      const std::vector<uint8_t>& labels, int32_t max_matches,
+                      bool uniquify, PairResult& out) {
+  const int32_t nt = in.t_natoms[t_idx];
+  const int32_t nq = g.n_atoms;
+  out.atoms.clear();
+  out.overflow = false;
+  if (nq == 0) return;
+  bool any = false;
+  for (size_t i = 0; i < labels.size() && !any; ++i) any = labels[i];
+  if (!any) return;
+
+  Order order = bfs_order(g, labels, nt);
+  if (!order.ok) return;  // caller handles disconnected queries
+
+  const uint8_t* akind = in.adj_kind + in.t_adj_off[t_idx];
+  const uint8_t* aring = in.adj_ring + in.t_adj_off[t_idx];
+
+  std::vector<int32_t> assign(nq, -1);
+  std::vector<uint8_t> used(nt, 0);
+  std::vector<int32_t> stack_cand(nq, 0);
+  std::set<std::vector<int32_t>> seen;
+  std::vector<int32_t> row(nq), key(nq);
+  int64_t emitted = 0;
+
+  int32_t d = 0;
+  stack_cand[0] = 0;
+  while (d >= 0) {
+    const int32_t q = order.atom[d];
+    int32_t a = stack_cand[d];
+    bool advanced = false;
+    for (; a < nt; ++a) {
+      if (used[a] || !labels[(size_t)a * nq + q]) continue;
+      bool ok = true;
+      for (auto [slot, bi] : order.back[d]) {
+        const int32_t u = assign[slot];
+        if (!bond_ok(g, bi, akind[(size_t)u * nt + a],
+                     aring[(size_t)u * nt + a])) {
+          ok = false;
+          break;
+        }
+      }
+      if (!ok) continue;
+      assign[d] = a;
+      stack_cand[d] = a + 1;
+      if (d + 1 == nq) {
+        // complete match: emit in query-atom order
+        for (int32_t slot = 0; slot < nq; ++slot)
+          row[order.atom[slot]] = assign[slot];
+        bool fresh = true;
+        if (uniquify) {
+          key = row;
+          std::sort(key.begin(), key.end());
+          fresh = seen.insert(key).second;
+        }
+        if (fresh) {
+          out.atoms.insert(out.atoms.end(), row.begin(), row.end());
+          if (++emitted >= max_matches) {
+            out.overflow = true;
+            return;
+          }
+        }
+        // stay at this depth; next candidate
+      } else {
+        used[a] = 1;
+        ++d;
+        stack_cand[d] = 0;
+      }
+      advanced = true;
+      break;
+    }
+    if (!advanced) {
+      --d;
+      if (d >= 0) {
+        used[assign[d]] = 0;
+        assign[d] = -1;
+      }
+    }
+  }
+}
+
 // recursive-pattern root mask: atoms where a match rooted at pattern atom 0
 // exists (DFS with early exit per root)
 void pattern_roots(const Inputs& in, const GraphSpec& g, int32_t t_idx,
@@ -400,7 +490,8 @@ void* nvmk_substruct_search(
     const int64_t* p_atom_instr_start, const int64_t* p_atom_instr_end,
     const int64_t* p_bond_off, const int32_t* pb_begin, const int32_t* pb_end,
     const uint8_t* pb_kind_mask, const uint8_t* pb_flags,
-    int32_t max_matches, int32_t uniquify, int32_t n_threads) {
+    int32_t max_matches, int32_t uniquify, int32_t algorithm,
+    int32_t n_threads) {
   Inputs in;
   in.n_targets = n_targets;
   in.n_queries = n_queries;
@@ -482,8 +573,12 @@ void* nvmk_substruct_search(
         const int32_t t = (int32_t)(p / n_queries);
         const int32_t q = (int32_t)(p % n_queries);
         paint_labels(in, in.queries[q], t, masks[t], labels);
-        find_matches(in, in.queries[q], t, labels, in.max_matches,
-                     in.uniquify, res->pairs[p]);
+        if (algorithm == 1)
+          find_matches_vf2(in, in.queries[q], t, labels, in.max_matches,
+                           in.uniquify, res->pairs[p]);
+        else
+          find_matches(in, in.queries[q], t, labels, in.max_matches,
+                       in.uniquify, res->pairs[p]);
       }
     };
     std::vector<std::thread> pool;

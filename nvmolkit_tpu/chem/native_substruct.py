@@ -40,11 +40,12 @@ def _load():
     if _lib is not None or _load_failed:
         return _lib
     try:
-        if not _LIB_PATH.exists():
-            subprocess.run(
-                ["make", "-C", str(_LIB_PATH.parent), _LIB_PATH.name],
-                check=True, capture_output=True,
-            )
+        # make is a no-op when the .so is newer than the source; running
+        # it unconditionally keeps the ABI in sync with this module
+        subprocess.run(
+            ["make", "-C", str(_LIB_PATH.parent), _LIB_PATH.name],
+            check=True, capture_output=True,
+        )
         lib = ctypes.CDLL(str(_LIB_PATH))
         lib.nvmk_substruct_search.restype = ctypes.c_void_p
         lib.nvmk_substruct_total_atoms.restype = ctypes.c_int64
@@ -202,10 +203,14 @@ def native_substruct_search(
     max_matches: int = 10000,
     uniquify: bool = True,
     n_threads: int = 0,
+    algorithm: str = "gsi",
 ):
     """Run the C++ matcher. Returns (matches, overflowed) where
     ``matches[t][q]`` is an [M, nq] int32 array and ``overflowed`` is a
-    list of (t, q) pairs whose results were truncated."""
+    list of (t, q) pairs whose results were truncated. ``algorithm``
+    selects the BFS frontier join (``"gsi"``) or the depth-first VF2
+    matcher (``"vf2"``) — the reference's two engines
+    (``substruct_algos.cuh:95-250`` vf2SearchGPU, :255-430 GSI)."""
     lib = _load()
     assert lib is not None
 
@@ -269,6 +274,7 @@ def native_substruct_search(
         ptr(pb_b, ctypes.c_int32), ptr(pb_e, ctypes.c_int32),
         ptr(pb_km, ctypes.c_uint8), ptr(pb_fl, ctypes.c_uint8),
         ctypes.c_int32(max_matches), ctypes.c_int32(int(uniquify)),
+        ctypes.c_int32(1 if algorithm == "vf2" else 0),
         ctypes.c_int32(n_threads),
     )
     try:

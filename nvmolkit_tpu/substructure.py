@@ -212,11 +212,11 @@ def getSubstructMatches(
     )
     from nvmolkit_tpu.ops.substruct import _is_connected
 
-    use_native = (
-        cfg.useNativeEngine
-        and cfg.algorithm == SubstructAlgorithm.GSI
-        and native_substruct_available()
-    )
+    # both algorithms have native engines (csrc/substruct_join.cpp BFS
+    # join + DFS VF2); the device engine is GSI-only, so VF2 searches
+    # route to the native matcher even when a device is present
+    use_native = cfg.useNativeEngine and native_substruct_available()
+    algo_name = "vf2" if cfg.algorithm == SubstructAlgorithm.VF2 else "gsi"
 
     device_matches: dict[tuple[int, int], "np.ndarray"] = {}
     device_blocks: list | None = None
@@ -268,6 +268,7 @@ def getSubstructMatches(
                 max_matches=mm,
                 uniquify=cfg.uniquify,
                 n_threads=max(0, cfg.workerThreads),
+                algorithm=algo_name,
             )
             nmatches = {}
             for ti in range(len(tfs)):
@@ -298,7 +299,9 @@ def getSubstructMatches(
     if cfg.useDeviceEngine and cfg.algorithm == SubstructAlgorithm.GSI:
         native_matches = drain_out.get("matches")
         native_overflowed = drain_out.get("overflowed", set())
-    elif use_native and not cfg.useDeviceEngine:
+    elif use_native and (
+        not cfg.useDeviceEngine or cfg.algorithm == SubstructAlgorithm.VF2
+    ):
         # disconnected queries go through the Python component combiner
         connected_ids = [qi for qi, q in enumerate(qmols) if _is_connected(q)]
         if connected_ids:
@@ -308,6 +311,7 @@ def getSubstructMatches(
                 max_matches=mm,
                 uniquify=cfg.uniquify,
                 n_threads=max(0, cfg.workerThreads),
+                algorithm=algo_name,
             )
             native_matches = {}
             for ti in range(len(tfs)):

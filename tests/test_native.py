@@ -73,3 +73,70 @@ def test_native_morgan_fastpath_bitexact(smiles100):
     want = gen.GetFingerprints(mols).numpy()
     got = gen.GetFingerprintsFromSmiles(smiles100).numpy()
     np.testing.assert_array_equal(got, want)
+
+
+def test_native_vf2_rowwise_equals_python_vf2(smiles100):
+    """csrc VF2 (DFS explicit stack) must reproduce the Python VF2
+    oracle ROW FOR ROW (same slot order, same ascending candidate
+    order), and its atom sets must agree with the BFS-join engine."""
+    from nvmolkit_tpu.chem.native_substruct import native_substruct_search
+    from nvmolkit_tpu.chem.smarts import parse_smarts
+    from nvmolkit_tpu.ops.substruct import (
+        featurize_target,
+        find_matches,
+        find_matches_vf2,
+    )
+
+    queries = [
+        "c1ccccc1", "C(=O)O", "ccc", "C~C~C", "[R]", "[OH]",
+        "[NX3;!$(NC=O)]", "[#6]~[#7]",
+    ]
+    qmols = [parse_smarts(q) for q in queries]
+    tfs = [featurize_target(mol_from_smiles(s)) for s in smiles100[:30]]
+    for uniq in (False, True):
+        nat, _ = native_substruct_search(
+            tfs, qmols, max_matches=10000, uniquify=uniq, algorithm="vf2"
+        )
+        for ti, tf in enumerate(tfs):
+            for qi, q in enumerate(qmols):
+                py, _over = find_matches_vf2(
+                    q, tf, max_matches=10000, uniquify=uniq
+                )
+                np.testing.assert_array_equal(
+                    nat[ti][qi], py, err_msg=f"{ti} {queries[qi]} uniq={uniq}"
+                )
+                gsi, _over = find_matches(
+                    q, tf, max_matches=10000, uniquify=uniq
+                )
+                assert {frozenset(map(int, r)) for r in nat[ti][qi]} == {
+                    frozenset(map(int, r)) for r in gsi
+                }
+
+
+def test_vf2_algorithm_routes_to_native_engine(smiles100):
+    """algorithm=VF2 must run at native speed (not the Python engine)
+    even when a device is present: VF2 has no device kernel, so the
+    dispatch routes it to csrc/substruct_join.cpp (VERDICT r4 #2)."""
+    from unittest import mock
+
+    from nvmolkit_tpu import substructure as sub
+
+    mols = [mol_from_smiles(s) for s in smiles100[:10]]
+    queries = ["c1ccccc1", "C(=O)O"]
+    called = {}
+    real = sub.find_matches_vf2
+
+    def spy(*a, **k):
+        called["python_vf2"] = True
+        return real(*a, **k)
+
+    with mock.patch.object(sub, "find_matches_vf2", spy):
+        cfg = sub.SubstructSearchConfig(
+            algorithm=sub.SubstructAlgorithm.VF2, useDeviceEngine=True
+        )
+        res_vf2 = sub.getSubstructMatches(mols, queries, cfg)
+    assert "python_vf2" not in called  # native engine took every pair
+    res_gsi = sub.getSubstructMatches(
+        mols, queries, sub.SubstructSearchConfig(useDeviceEngine=False)
+    )
+    np.testing.assert_array_equal(res_vf2.counts(), res_gsi.counts())
