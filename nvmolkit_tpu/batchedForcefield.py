@@ -234,11 +234,127 @@ class _BatchedForcefieldBase:
             )
         return None
 
-    def minimize(self, maxIters=200, forceTol=1e-4):
-        """Minimize all systems in place; returns (energies, converged).
+    def _apply_positions_from(self, pf) -> None:
+        """Load starting coordinates from a device-resident
+        :class:`~nvmolkit_tpu.types.Dense3DResult` (e.g. straight out of
+        ``EmbedMolecules(output=DEVICE)``) with a device gather — no
+        host round-trip (the reference's device-input overload,
+        ``src/conformer/ff_device_collect.h:64-97``). The FF's k-th
+        conformer of molecule ``mi`` maps to the k-th True slot of
+        ``pf.conf_mask[mi]``, matching the module-level drivers."""
+        n_mols_pf = int(pf.positions.shape[0])
+        if n_mols_pf != len(self.molecules):
+            raise ValueError(
+                f"positionsFrom covers {n_mols_pf} molecules, "
+                f"forcefield has {len(self.molecules)}"
+            )
+        cmask = np.asarray(pf.conf_mask)
+        slot_of: list[np.ndarray] = []
+        for mi, m in enumerate(self.molecules):
+            slots = np.nonzero(cmask[mi])[0]
+            if len(slots) != len(m.conformers):
+                raise ValueError(
+                    f"positionsFrom has {len(slots)} embedded conformers "
+                    f"for molecule {mi}, forcefield batch has "
+                    f"{len(m.conformers)}"
+                )
+            slot_of.append(slots)
+        max_confs_pf = int(pf.positions.shape[1])
+        rows = np.asarray(
+            [mi * max_confs_pf + slot_of[mi][ci] for mi, ci in self.systems],
+            np.int32,
+        )
+        A_pf = int(pf.positions.shape[2])
+        src = pf.positions.reshape(-1, A_pf, 3)[rows].astype(
+            self._positions.dtype
+        )
+        A = self.max_atoms
+        if A_pf >= A:
+            self._positions = src[:, :A]
+        else:
+            self._positions = jnp.pad(src, ((0, 0), (0, A - A_pf), (0, 0)))
+
+    def _dense_result(self, energies, converged):
+        """Scatter the flat [S] system axis back to a device-resident
+        ``[n_mols, max_confs, A, 3]`` :class:`Dense3DResult` (the
+        reference's ``Device3DResult`` return of
+        ``minimize(output=DEVICE)``, ``nvmolkit/batchedForcefield.py``
+        minimize overloads)."""
+        from nvmolkit_tpu.types import Dense3DResult
+
+        n_mols = len(self.molecules)
+        max_confs = max(len(m.conformers) for m in self.molecules)
+        rows = np.asarray(
+            [mi * max_confs + ci for mi, ci in self.systems], np.int32
+        )
+        A = self.max_atoms
+        pos = (
+            jnp.zeros((n_mols * max_confs, A, 3), self._positions.dtype)
+            .at[rows].set(self._positions)
+            .reshape(n_mols, max_confs, A, 3)
+        )
+        e = (
+            jnp.zeros((n_mols * max_confs,), energies.dtype)
+            .at[rows].set(energies).reshape(n_mols, max_confs)
+        )
+        conv = (
+            jnp.zeros((n_mols * max_confs,), bool)
+            .at[rows].set(converged).reshape(n_mols, max_confs)
+        )
+        conf_mask = np.zeros((n_mols, max_confs), bool)
+        atom_mask = np.zeros((n_mols, A), bool)
+        for mi, m in enumerate(self.molecules):
+            conf_mask[mi, : len(m.conformers)] = True
+            atom_mask[mi, : m.num_atoms] = True
+        return Dense3DResult(
+            positions=pos,
+            conf_mask=jnp.asarray(conf_mask),
+            atom_mask=jnp.asarray(atom_mask),
+            energies=e,
+            converged=conv,
+        )
+
+    def minimize(
+        self,
+        maxIters=200,
+        forceTol=1e-4,
+        output=None,
+        target_gpu: int | None = None,
+        positionsFrom=None,
+    ):
+        """Minimize all systems in place.
+
+        Default output returns ``(energies, converged)`` AsyncResults
+        over the flat system axis. ``output=CoordinateOutput.DEVICE``
+        instead returns a device-resident :class:`Dense3DResult`
+        (positions/energies/converged stay on device for chaining into
+        RMSD/TFD/optimize via their ``positionsFrom=``), mirroring the
+        reference's minimize overloads (``nvmolkit/batchedForcefield.py``
+        ``minimize(output=, target_gpu=)``). ``positionsFrom`` accepts a
+        Dense3DResult as the starting coordinates (device gather, no
+        host round-trip). ``target_gpu`` must be the wrapper's own
+        device (the wrapper is single-device, as in the reference);
+        any other value raises ``ValueError``.
 
         ``maxIters`` and ``forceTol`` accept a scalar or a per-molecule
         sequence (reference broadcasting semantics)."""
+        from nvmolkit_tpu.types import CoordinateOutput as _CO
+
+        if target_gpu is not None:
+            import jax as _jax
+
+            own = self.opts.deviceIds[0] if self.opts.deviceIds else (
+                _jax.devices()[0].id
+            )
+            if int(target_gpu) != own:
+                raise ValueError(
+                    f"target_gpu={target_gpu} differs from the wrapper's "
+                    f"device {own}; the batched wrapper is single-device "
+                    "(use the standalone optimize APIs for cross-device "
+                    "consolidation)"
+                )
+        if positionsFrom is not None:
+            self._apply_positions_from(positionsFrom)
         iter_caps = self._broadcast_per_molecule(maxIters, "maxIters", np.int32)
         grad_tols = self._broadcast_per_molecule(forceTol, "forceTol", np.float32)
         max_iters = int(np.max(maxIters)) if iter_caps is not None else maxIters
@@ -267,6 +383,8 @@ class _BatchedForcefieldBase:
                 grad_tols=grad_tols,
             )
         self._positions = res.positions
+        if output == _CO.DEVICE:
+            return self._dense_result(res.energies, res.converged)
         return AsyncResult(res.energies), AsyncResult(res.converged)
 
 

@@ -39,7 +39,8 @@ from nvmolkit_tpu.utils.config import HardwareOptions
 
 @dataclasses.dataclass
 class EmbedParameters:
-    """Subset of RDKit's EmbedParameters the pipeline honors.
+    """RDKit ``EmbedParameters`` mirror (the reference passes RDKit's
+    struct straight through, ``src/etkdg.h:39-59``).
 
     ``useRandomCoords`` must stay True (the reference enforces the same,
     ``embedMolecules.py:70-77``).
@@ -47,6 +48,23 @@ class EmbedParameters:
 
     useRandomCoords: bool = True
     randomSeed: int = 42
+    # eigen-projection knobs (RDKit semantics; models/dist_geom.py):
+    # box side for randomized eigencomponents, randomize-vs-zero for
+    # non-positive eigenvalues, and the zero-eigenvalue failure count.
+    # numZeroFail defaults OFF (0) here, unlike RDKit's 1: this
+    # pipeline embeds heavy-atom graphs whose rigid planar systems
+    # (benzene) have exactly rank-2 metric matrices — a strict zero
+    # count would reject them forever. RDKit's all-atom bounds carry
+    # enough slack to dodge that; set 1 for strict RDKit parity on
+    # flexible molecules.
+    boxSizeMult: float = 2.0
+    randNegEig: bool = True
+    numZeroFail: int = 0
+    # pin amide omega torsions trans during the ETK 3-D stage (RDKit's
+    # forceTransAmides adjusts the 1-4 bounds instead; here it is an
+    # ETK torsion term with its minimum at omega=180 — same observable
+    # behavior, device-friendly mechanism)
+    forceTransAmides: bool = False
     maxViolationRatio: float = 0.35   # bounds-check acceptance
     minTetrahedralVolume: float = 0.5  # |6V| floor for sp3 centers
     chiralWeightFirst: float = 1.0
@@ -76,6 +94,45 @@ class EmbedParameters:
     minimizerBackend: str = "flat"
 
 
+def ETKDG(**overrides) -> EmbedParameters:
+    """RDKit ``ETKDG()`` preset: experimental torsions + basic
+    knowledge (v1 knob set)."""
+    return EmbedParameters(
+        useExpTorsionAnglePrefs=True, useBasicKnowledge=True,
+        forceTransAmides=True, **overrides,
+    )
+
+
+def ETKDGv2(**overrides) -> EmbedParameters:
+    """RDKit ``ETKDGv2()`` preset (v2 torsion handling; same knob
+    surface here — the embedded torsion library is versionless)."""
+    return ETKDG(**overrides)
+
+
+def ETKDGv3(**overrides) -> EmbedParameters:
+    """RDKit ``ETKDGv3()`` preset: v3 torsions + macrocycle tiers."""
+    return ETKDG(useMacrocycleTorsions=True, **overrides)
+
+
+def srETKDGv3(**overrides) -> EmbedParameters:
+    """RDKit ``srETKDGv3()`` preset: v3 with small-ring torsions."""
+    return ETKDG(useSmallRingTorsions=True, **overrides)
+
+
+def KDG(**overrides) -> EmbedParameters:
+    """RDKit ``KDG()`` preset: basic knowledge only."""
+    return EmbedParameters(
+        useExpTorsionAnglePrefs=False, useBasicKnowledge=True, **overrides
+    )
+
+
+def ETDG(**overrides) -> EmbedParameters:
+    """RDKit ``ETDG()`` preset: experimental torsions only."""
+    return EmbedParameters(
+        useExpTorsionAnglePrefs=True, useBasicKnowledge=False, **overrides
+    )
+
+
 @dataclasses.dataclass
 class EmbedFailureCounts:
     """Per-stage failure counters (the reference's getFailures())."""
@@ -85,6 +142,7 @@ class EmbedFailureCounts:
     chiral_dist_check: int = 0
 
     smoothing: int = 0
+    initial_coords: int = 0   # numZeroFail eigen-rank check
     first_minimize: int = 0
     bounds_check: int = 0
     chiral_check: int = 0
@@ -395,7 +453,10 @@ def _embed_bucket(
                 # loop below then only assembles cached claims
                 tp.precompute([molecules[mi] for mi in mol_ids])
             for mi in mol_ids:
-                build_etk_terms(molecules[mi], tp)
+                build_etk_terms(
+                    molecules[mi], tp,
+                    force_trans_amides=params.forceTransAmides,
+                )
     consistent = np.asarray(consistent)
 
     # relaxed-bounds retry for smoothing failures: the reference
@@ -540,7 +601,13 @@ def _embed_bucket(
             if "batch" not in _etk_state:
                 from nvmolkit_tpu.models.etk import attach_etk_selection
 
-                etk_host = [build_etk_terms(molecules[mi], tp) for mi in mol_ids]
+                etk_host = [
+                    build_etk_terms(
+                        molecules[mi], tp,
+                        force_trans_amides=params.forceTransAmides,
+                    )
+                    for mi in mol_ids
+                ]
                 etk_pad = pad_etk_batch(etk_host)
                 # merged selection one-hot built ONCE here; without it
                 # etk_energy would rebuild it on every minimize step
@@ -608,6 +675,10 @@ def _embed_bucket(
         jnp.float32(params.chiralWeightSecond),
         jnp.float32(params.fourthDimWeightSecond),
     )
+    coord_cfg = (
+        float(params.boxSizeMult), bool(params.randNegEig),
+        int(params.numZeroFail),
+    )
 
     for attempt in range(max_iterations):
         active = np.nonzero(needed)[0]
@@ -645,6 +716,7 @@ def _embed_bucket(
                     chk_full,
                     _etk_resolved()["batch"] if use_etk else {},
                     dg_weights, check_scalars, stage_iters, use_etk,
+                    coord_cfg,
                 )
             oks = list(np.asarray(oks_arr))
         elif not multi:
@@ -655,9 +727,9 @@ def _embed_bucket(
             # terms; the ETK stage + checks then go up as one program.
             key, k_att = jax.random.split(key)
             with stage("dg_stages"):
-                pos3 = _fused_dg_stages(
+                pos3, eig_ok = _fused_dg_stages(
                     minimize, k_att, ub_s, lb_s, am_s, chk_full[:4],
-                    dg_weights, stage_iters[:2],
+                    dg_weights, stage_iters[:2], coord_cfg,
                 )
             etk_b = _etk_resolved()["batch"] if use_etk else {}
             with stage("etk_checks"):
@@ -665,7 +737,7 @@ def _embed_bucket(
                     minimize, pos3, ub_s, lb_s, am_s, chk_full, etk_b,
                     check_scalars, stage_iters[2], use_etk,
                 )
-            oks = list(np.asarray(oks_arr))
+            oks = list(np.asarray(jnp.concatenate([eig_ok[None], oks_arr])))
         else:
             if sub_S >= S:
                 ub_a, lb_a, am_a, pm = ub_s, lb_s, am_s, pair_mask
@@ -708,9 +780,16 @@ def _embed_bucket(
 
             key, k_coords = jax.random.split(key)
             with stage("coordgen"):
-                coords4 = random_distance_matrices(
-                    k_coords, ub_a, lb_a, am_a, n_dims=4
+                cg_out = random_distance_matrices(
+                    k_coords, ub_a, lb_a, am_a, n_dims=4,
+                    box_size_mult=coord_cfg[0], rand_neg_eig=coord_cfg[1],
+                    num_zero_fail=coord_cfg[2],
                 )  # [sub_S, A, 4]
+                if coord_cfg[2] > 0:
+                    coords4, eig_ok = cg_out
+                else:
+                    coords4 = cg_out
+                    eig_ok = jnp.ones(coords4.shape[0], bool)
 
             with stage("first_minimization"):
                 res1 = minimize(
@@ -742,8 +821,9 @@ def _embed_bucket(
                 )
             # one stacked fetch instead of six (each device->host fetch
             # pays a full tunnel round trip)
-            oks = list(np.asarray(jnp.stack(oks)))
+            oks = list(np.asarray(jnp.concatenate([eig_ok[None], jnp.stack(oks)])))
         names = (
+            ("initial_coords",),
             ("bounds_check",),
             ("chiral_check",),
             ("tetrahedral_check",),
@@ -774,8 +854,14 @@ def _embed_bucket(
 import functools as _functools
 
 
-def _dg_stages_impl(minimize, key, ub, lb, am, chiral, dg_weights, dg_iters):
-    """coordgen + first + fourth-dim minimizations (traced helper)."""
+def _dg_stages_impl(
+    minimize, key, ub, lb, am, chiral, dg_weights, dg_iters, coord_cfg
+):
+    """coordgen + first + fourth-dim minimizations (traced helper).
+
+    ``coord_cfg`` = (boxSizeMult, randNegEig, numZeroFail) — static.
+    Returns (pos3, eig_ok) where eig_ok flags systems that passed the
+    numZeroFail eigen-rank check (all-True when the check is off)."""
     from nvmolkit_tpu.models.dist_geom import dg_eg
 
     A = ub.shape[1]
@@ -792,14 +878,23 @@ def _dg_stages_impl(minimize, key, ub, lb, am, chiral, dg_weights, dg_iters):
     a_second = dict(
         base, chiral_weight=dg_weights[2], fourth_dim_weight=dg_weights[3]
     )
-    coords4 = random_distance_matrices(key, ub, lb, am, n_dims=4)
+    box, rand_neg, num_zero = coord_cfg
+    out = random_distance_matrices(
+        key, ub, lb, am, n_dims=4,
+        box_size_mult=box, rand_neg_eig=rand_neg, num_zero_fail=num_zero,
+    )
+    if num_zero > 0:
+        coords4, eig_ok = out
+    else:
+        coords4 = out
+        eig_ok = jnp.ones(ub.shape[0], bool)
     res1 = minimize(
         dg_eg, coords4, am, max_iters=dg_iters[0], energy_args=a_first
     )
     res2 = minimize(
         dg_eg, res1.positions, am, max_iters=dg_iters[1], energy_args=a_second
     )
-    return res2.positions[..., :3]
+    return res2.positions[..., :3], eig_ok
 
 
 def _etk_checks_impl(
@@ -824,9 +919,15 @@ def _etk_checks_impl(
     return pos3, jnp.stack(oks)
 
 
-@_functools.partial(jax.jit, static_argnames=("minimize", "dg_iters"))
-def _fused_dg_stages(minimize, key, ub, lb, am, chiral, dg_weights, dg_iters):
-    return _dg_stages_impl(minimize, key, ub, lb, am, chiral, dg_weights, dg_iters)
+@_functools.partial(
+    jax.jit, static_argnames=("minimize", "dg_iters", "coord_cfg")
+)
+def _fused_dg_stages(
+    minimize, key, ub, lb, am, chiral, dg_weights, dg_iters, coord_cfg
+):
+    return _dg_stages_impl(
+        minimize, key, ub, lb, am, chiral, dg_weights, dg_iters, coord_cfg
+    )
 
 
 @_functools.partial(jax.jit, static_argnames=("minimize", "etk_iters", "use_etk"))
@@ -840,18 +941,19 @@ def _fused_etk_checks(
 
 
 @_functools.partial(
-    jax.jit, static_argnames=("minimize", "stage_iters", "use_etk")
+    jax.jit, static_argnames=("minimize", "stage_iters", "use_etk", "coord_cfg")
 )
 def _fused_retry_attempt(
     minimize, key, sel, ub_s, lb_s, am_s, chk_full, etk_batch,
-    dg_weights, check_scalars, stage_iters, use_etk,
+    dg_weights, check_scalars, stage_iters, use_etk, coord_cfg,
 ):
     """One whole retry attempt as a single device program.
 
     Gathers the still-failing systems out of the full-batch arrays,
     regenerates coordinates, runs the three minimization stages and the
-    stereo checks — one launch, one (pos3, oks) result. The reference
-    keeps retries on-device through its CUDA-graph Scheduler
+    stereo checks — one launch, one (pos3, oks) result where oks row 0
+    is the numZeroFail eigen-rank check. The reference keeps retries
+    on-device through its CUDA-graph Scheduler
     (``etkdg_impl.h:210-233``); this is the XLA equivalent.
     """
 
@@ -860,14 +962,16 @@ def _fused_retry_attempt(
 
     ub, lb, am = take(ub_s), take(lb_s), take(am_s)
     chk = tuple(take(x) for x in chk_full)
-    pos3 = _dg_stages_impl(
-        minimize, key, ub, lb, am, chk[:4], dg_weights, stage_iters[:2]
+    pos3, eig_ok = _dg_stages_impl(
+        minimize, key, ub, lb, am, chk[:4], dg_weights, stage_iters[:2],
+        coord_cfg,
     )
-    return _etk_checks_impl(
+    pos3, oks = _etk_checks_impl(
         minimize, pos3, ub, lb, am, chk,
         {k: take(v) for k, v in etk_batch.items()},
         check_scalars, stage_iters[2], use_etk,
     )
+    return pos3, jnp.concatenate([eig_ok[None], oks], axis=0)
 
 
 @jax.jit

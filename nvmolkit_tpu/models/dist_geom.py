@@ -131,7 +131,65 @@ def dg_eg(positions, args: dict):
 # coordinate generation
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("n_dims",))
+@functools.partial(jax.jit, static_argnames=("k", "iters"))
+def _top_k_eig_power(
+    g: jnp.ndarray,          # [S, A, A] symmetric (zero padded rows/cols)
+    atom_mask: jnp.ndarray,  # [S, A]
+    k: int,
+    key: jax.Array,
+    iters: int = 40,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Top-k eigenpairs by batched orthogonal (block power) iteration.
+
+    The metric-matrix projection only needs the ``n_dims`` dominant
+    eigenpairs; XLA's full ``eigh`` on TPU costs more than both DG
+    minimization stages combined (0.19 s vs 0.28 s on a [4056, 16, 16]
+    embed batch). This is the reference's design point too — it ships a
+    fixed-iteration batched power eigensolver
+    (``coord_gen.cu:55-100`` / ``symmetric_eigensolver.cu``) instead of
+    a dense solver. Each iteration is one batched [S, A, A] @ [S, A, k]
+    matmul (MXU) plus a k-column modified Gram-Schmidt (VPU).
+
+    The iteration is unshifted (dominance by |lambda|), then a final
+    Rayleigh-Ritz rotation — ``eigh`` of the k x k projected matrix
+    Q^T G Q — extracts the best eigenpairs inside the converged
+    subspace (subspaces converge much faster than individual vectors).
+    A column captured by a large-magnitude NEGATIVE eigenvalue sorts
+    last by value and lands in the non-positive-eigenvalue
+    randomization below, matching the ``eigh`` path's handling.
+    """
+    S, A, _ = g.shape
+    q0 = (jax.random.uniform(key, (S, A, k), dtype=g.dtype) - 0.5)
+    q0 = q0 * atom_mask[..., None].astype(g.dtype)
+
+    def orthonormalize(z):
+        cols = []
+        for j in range(k):
+            v = z[:, :, j]
+            for q in cols:
+                v = v - jnp.sum(q * v, axis=1, keepdims=True) * q
+            v = v / jnp.sqrt(jnp.sum(v * v, axis=1, keepdims=True) + 1e-12)
+            cols.append(v)
+        return jnp.stack(cols, axis=2)
+
+    def body(_, q):
+        return orthonormalize(jnp.einsum("sab,sbk->sak", g, q))
+
+    q = jax.lax.fori_loop(0, iters, body, orthonormalize(q0))
+    # Rayleigh-Ritz on the k x k projection (tiny batched eigh)
+    gq = jnp.einsum("sab,sbk->sak", g, q)
+    b = jnp.einsum("saj,sak->sjk", q, gq)                      # [S, k, k]
+    b = 0.5 * (b + jnp.swapaxes(b, 1, 2))
+    ritz_vals, w = jnp.linalg.eigh(b)                          # ascending
+    vals = ritz_vals[:, ::-1]
+    q = jnp.einsum("sak,skj->saj", q, w[:, :, ::-1])
+    return vals, q
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_dims", "box_size_mult", "rand_neg_eig", "num_zero_fail"),
+)
 def random_distance_matrices(
     key: jax.Array,
     upper: jnp.ndarray,       # [S, A, A]
@@ -139,6 +197,9 @@ def random_distance_matrices(
     atom_mask: jnp.ndarray,   # [S, A]
     *,
     n_dims: int = 4,
+    box_size_mult: float = 1.0,
+    rand_neg_eig: bool = True,
+    num_zero_fail: int = 0,
 ):
     """Sample symmetric distance matrices uniformly within bounds and
     project them to initial coordinates via the metric matrix.
@@ -146,9 +207,20 @@ def random_distance_matrices(
     The reference does the sampling on CPU (RDKit ``pickRandomDistMat``)
     and projects with a custom batched power eigensolver
     (``coord_gen.cu:55-100``); here both run on device: double centering
-    -> ``eigh`` -> coords = V sqrt(max(lambda, 0)), with random
-    components where eigenvalues are non-positive (matching the
-    reference's negative-eigenvalue randomization).
+    -> ``eigh`` -> coords = V sqrt(max(lambda, 0)).
+
+    Three RDKit ``EmbedParameters`` knobs map onto the eigen-projection
+    (RDKit ``EmbedHelpers`` semantics):
+
+    * ``rand_neg_eig`` (RDKit ``randNegEig``): non-positive eigenvalue
+      components get uniform random coordinates instead of zeros.
+    * ``box_size_mult`` (RDKit ``boxSizeMult``): side length of the box
+      those random components are drawn from.
+    * ``num_zero_fail`` (RDKit ``numZeroFail``): with ``> 0``, the
+      second return value flags systems whose top-``n_dims``
+      eigenvalues include at least that many (near-)zeros — callers
+      count those as initial-coordinate failures and retry. With the
+      default 0 the check is off and only coordinates are returned.
     """
     S, A, _ = upper.shape
     k_d, k_neg = jax.random.split(key)
@@ -169,16 +241,31 @@ def random_distance_matrices(
     g = -0.5 * (d2 - row - col + grand)
     g = jnp.where(pair_mask, g, 0.0)
 
-    evals, evecs = jnp.linalg.eigh(g)  # ascending
-    top_vals = evals[:, -n_dims:][:, ::-1]          # [S, n_dims] descending
-    top_vecs = evecs[:, :, -n_dims:][:, :, ::-1]    # [S, A, n_dims]
+    k_q, k_neg = jax.random.split(k_neg)
+    top_vals, top_vecs = _top_k_eig_power(g, atom_mask, n_dims, k_q)
     scale = jnp.sqrt(jnp.maximum(top_vals, 0.0))
     coords = top_vecs * scale[:, None, :]
-    # non-positive eigenvalues: random small components (reference
-    # randomizes those entries, symmetric_eigensolver.cu)
-    rand = (jax.random.uniform(k_neg, coords.shape) - 0.5) * 1.0
-    coords = jnp.where((top_vals > 1e-6)[:, None, :], coords, rand)
+    # non-positive eigenvalues: random components in a box_size_mult box
+    # (reference randomizes those entries, symmetric_eigensolver.cu;
+    # RDKit randNegEig + boxSizeMult)
+    if rand_neg_eig:
+        rand = (jax.random.uniform(k_neg, coords.shape) - 0.5) * box_size_mult
+        coords = jnp.where((top_vals > 1e-6)[:, None, :], coords, rand)
+    else:
+        coords = jnp.where((top_vals > 0.0)[:, None, :], coords, 0.0)
     coords = jnp.where(atom_mask[..., None], coords, 0.0)
+    if num_zero_fail > 0:
+        # only eigenvalues the system could have made positive count: a
+        # system of n points has metric rank <= n-1, so zeros past that
+        # are structural (diatomics etc.), not sampling failures
+        n_pts = jnp.maximum(atom_mask.sum(axis=1), 1)
+        achievable = jnp.minimum(n_dims, n_pts - 1)           # [S]
+        in_rank = jnp.arange(n_dims)[None, :] < achievable[:, None]
+        # relative zero threshold: f32 rank-deficient eigenvalues land
+        # at ~1e-7 * lambda_max, far above any absolute cutoff's reach
+        tol = 1e-4 * jnp.maximum(top_vals[:, :1], 1e-12)
+        n_zero = jnp.sum((top_vals <= tol) & in_rank, axis=1)
+        return coords, n_zero < num_zero_fail
     return coords
 
 

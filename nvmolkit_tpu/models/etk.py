@@ -38,25 +38,36 @@ class ETKTermsHost:
     torsion_phase: np.ndarray   # [T, 6] phi0_k (radians)
 
 
-def build_etk_terms(mol: Mol, torsion_provider=None) -> ETKTermsHost:
+def build_etk_terms(
+    mol: Mol, torsion_provider=None, force_trans_amides: bool = False
+) -> ETKTermsHost:
     """Improper (planarity) terms from the graph; experimental-torsion
     terms from ``torsion_provider(mol) -> (idx, coeffs, phase)`` if
-    given.
+    given; with ``force_trans_amides``, an omega-torsion pin per amide
+    bond (RDKit's ``forceTransAmides`` — RDKit clamps the 1-4 bounds,
+    here it is an ETK torsion with its minimum at omega=180).
 
-    Results cache on the Mol keyed by provider identity (the reference
-    caches per-ROMol contribs the same way, ``bfgs_mmff.cpp:199``);
-    editing the Mol's graph afterwards requires a fresh Mol or deleting
-    ``_etk_terms_cache``.
+    Results cache on the Mol keyed by (provider identity, flag) — the
+    reference caches per-ROMol contribs the same way
+    (``bfgs_mmff.cpp:199``); editing the Mol's graph afterwards requires
+    a fresh Mol or deleting ``_etk_terms_cache``.
     """
     cache = getattr(mol, "_etk_terms_cache", None)
-    if cache is not None and cache[0] is torsion_provider:
+    if (
+        cache is not None
+        and cache[0] is torsion_provider
+        and len(cache) == 3
+        and cache[2] == force_trans_amides
+    ):
         return cache[1]
-    out = _build_etk_terms_uncached(mol, torsion_provider)
-    mol._etk_terms_cache = (torsion_provider, out)
+    out = _build_etk_terms_uncached(mol, torsion_provider, force_trans_amides)
+    mol._etk_terms_cache = (torsion_provider, out, force_trans_amides)
     return out
 
 
-def _build_etk_terms_uncached(mol: Mol, torsion_provider=None) -> ETKTermsHost:
+def _build_etk_terms_uncached(
+    mol: Mol, torsion_provider=None, force_trans_amides: bool = False
+) -> ETKTermsHost:
     from nvmolkit_tpu.models.uff.builder import _hybridization
 
     imp_idx, imp_k = [], []
@@ -110,6 +121,56 @@ def _build_etk_terms_uncached(mol: Mol, torsion_provider=None) -> ETKTermsHost:
             t_rows.append(tuple(int(x) for x in p_idx[r]))
             t_c.append(np.asarray(p_coeffs[r], np.float32))
             t_p.append(np.asarray(p_phase[r], np.float32))
+
+    if force_trans_amides:
+        # omega pin per amide bond C(=O)-N: quartet (Ca, C, N, Cb) with
+        # E = F (1 + cos omega), minimum at omega = 180 (trans). Ca is
+        # a heavy C-neighbor that is not the carbonyl O or the amide N;
+        # Cb a heavy N-neighbor that is not C. Skips formamide-like
+        # ends with no heavy flanking atoms.
+        for b in mol.bonds:
+            for c_at, n_at in ((b.begin, b.end), (b.end, b.begin)):
+                if b.order != 1 or b.is_aromatic:
+                    continue
+                if mol.atoms[c_at].atomic_num != 6:
+                    continue
+                if mol.atoms[n_at].atomic_num != 7:
+                    continue
+                o_at = next(
+                    (
+                        nb for nb in mol.neighbors(c_at)
+                        if mol.atoms[nb].atomic_num == 8
+                        and (bo := mol.bond_between(c_at, nb)) is not None
+                        and bo.order == 2
+                    ),
+                    None,
+                )
+                if o_at is None:
+                    continue
+                ca = next(
+                    (
+                        nb for nb in mol.neighbors(c_at)
+                        if nb not in (o_at, n_at)
+                        and mol.atoms[nb].atomic_num > 1
+                    ),
+                    None,
+                )
+                cb = next(
+                    (
+                        nb for nb in mol.neighbors(n_at)
+                        if nb != c_at and mol.atoms[nb].atomic_num > 1
+                    ),
+                    None,
+                )
+                if ca is None or cb is None:
+                    continue
+                coeffs = np.zeros(6, np.float32)
+                phase = np.zeros(6, np.float32)
+                coeffs[0] = 10.0  # strong omega pin
+                phase[0] = 0.0    # E = F (1 + cos w): min at w = pi
+                t_rows.append((ca, c_at, n_at, cb))
+                t_c.append(coeffs)
+                t_p.append(phase)
 
     if t_rows:
         t_idx = np.asarray(t_rows, np.int32)

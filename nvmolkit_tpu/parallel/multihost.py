@@ -52,9 +52,6 @@ def initialize(
     global _initialized
     if _initialized:
         return jax.process_count() > 1
-    if jax.process_count() > 1:  # someone else already initialized
-        _initialized = True
-        return True
     kwargs = {}
     if coordinator_address is not None:
         kwargs["coordinator_address"] = coordinator_address
@@ -62,12 +59,20 @@ def initialize(
         kwargs["num_processes"] = num_processes
     if process_id is not None:
         kwargs["process_id"] = process_id
+    # NOTE: jax.distributed.initialize must run before ANY backend use
+    # (even jax.process_count() initializes the single-process backend
+    # and poisons a later distributed init) — so probe nothing first.
     try:
         jax.distributed.initialize(**kwargs)
     except (ValueError, RuntimeError):
-        # no cluster env detected (single host) or already initialized
-        _initialized = True
-        return jax.process_count() > 1
+        if kwargs:
+            # the caller explicitly asked for a cluster; a failure there
+            # is real (unless the runtime is already distributed)
+            _initialized = True
+            if jax.process_count() > 1:
+                return True
+            raise
+        # auto-detect found no cluster env: the expected single-host case
     _initialized = True
     return jax.process_count() > 1
 

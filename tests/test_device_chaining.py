@@ -123,3 +123,57 @@ def test_positions_from_wrong_mol_count_raises(embedded):
     mols, dense = embedded
     with pytest.raises(ValueError):
         MMFFOptimizeMoleculesConfs(mols[:2], positionsFrom=dense)
+
+
+def test_batched_ff_minimize_device_output_chain(embedded):
+    """BatchedForcefield.minimize(output=DEVICE, positionsFrom=...)
+    returns a device-resident Dense3DResult that chains into RMSD/TFD
+    without a host round-trip, and equals the default-output path
+    (VERDICT r4 item 4)."""
+    from nvmolkit_tpu.batchedForcefield import UFFBatchedForcefield
+    from nvmolkit_tpu.conformerRmsd import GetConformerRMSMatrixBatch
+    from nvmolkit_tpu.tfd import GetTFDMatrices
+    from nvmolkit_tpu.types import Dense3DResult
+
+    mols, dense = embedded
+    ff = UFFBatchedForcefield(mols)
+    res = ff.minimize(maxIters=30, positionsFrom=dense,
+                      output=CoordinateOutput.DEVICE)
+    assert isinstance(res, Dense3DResult)
+    n_mols = len(mols)
+    max_confs = max(len(m.conformers) for m in mols)
+    assert res.positions.shape[:2] == (n_mols, max_confs)
+    assert res.energies is not None and res.converged is not None
+
+    # default-output path on a fresh wrapper must agree
+    ff2 = UFFBatchedForcefield(mols)
+    e2, conv2 = ff2.minimize(maxIters=30, positionsFrom=dense)
+    cm = np.asarray(res.conf_mask)
+    e_dense = np.asarray(res.energies)[cm]
+    np.testing.assert_allclose(e_dense, e2.numpy(), rtol=1e-5, atol=1e-5)
+
+    # chain into RMSD + TFD device-side
+    rms = GetConformerRMSMatrixBatch(mols, positionsFrom=res)
+    tfd = GetTFDMatrices(mols, positionsFrom=res)
+    for m, r, t in zip(mols, rms, tfd):
+        n = len(m.conformers)
+        assert r.numpy().shape == (n * (n - 1) // 2,)
+        assert t.numpy().shape == (n * (n - 1) // 2,)
+
+
+def test_batched_ff_minimize_target_gpu_validation(embedded):
+    from nvmolkit_tpu.batchedForcefield import UFFBatchedForcefield
+
+    mols, _ = embedded
+    ff = UFFBatchedForcefield(mols)
+    with pytest.raises(ValueError, match="target_gpu"):
+        ff.minimize(maxIters=1, target_gpu=999)
+
+
+def test_batched_ff_positions_from_count_mismatch(embedded):
+    from nvmolkit_tpu.batchedForcefield import UFFBatchedForcefield
+
+    mols, dense = embedded
+    ff = UFFBatchedForcefield(mols[:2])
+    with pytest.raises(ValueError, match="positionsFrom"):
+        ff.minimize(maxIters=1, positionsFrom=dense)

@@ -390,9 +390,10 @@ def test_fused_retry_attempt_matches_staged_sequence():
     sel = jnp.asarray(np.asarray([2, 0, 3, 1], np.int64))
     key = jax.random.PRNGKey(7)
 
+    coord_cfg = (1.0, True, 1)
     fused_pos, fused_oks = _fused_retry_attempt(
         batched_lbfgs_flat_minimize, key, sel, ub_j, lb_j, am_j, chk, {},
-        weights, scalars, iters, False,
+        weights, scalars, iters, False, coord_cfg,
     )
 
     # staged reference sequence with identical inputs
@@ -405,7 +406,9 @@ def test_fused_retry_attempt_matches_staged_sequence():
         "atom_mask": am_g, "chiral_idx": chk_g[0], "chiral_lb": chk_g[1],
         "chiral_ub": chk_g[2], "chiral_mask": chk_g[3],
     }
-    coords4 = random_distance_matrices(key, ub_g, lb_g, am_g, n_dims=4)
+    coords4, eig_ok = random_distance_matrices(
+        key, ub_g, lb_g, am_g, n_dims=4, num_zero_fail=1
+    )
     r1 = batched_lbfgs_flat_minimize(
         dg_eg, coords4, am_g, max_iters=iters[0],
         energy_args=dict(base, chiral_weight=weights[0], fourth_dim_weight=weights[1]),
@@ -420,4 +423,133 @@ def test_fused_retry_attempt_matches_staged_sequence():
     np.testing.assert_allclose(
         np.asarray(fused_pos), np.asarray(pos3), atol=1e-5
     )
-    assert (np.asarray(fused_oks) == np.asarray(jnp.stack(oks))).all()
+    staged_oks = jnp.concatenate([eig_ok[None], jnp.stack(oks)])
+    assert (np.asarray(fused_oks) == np.asarray(staged_oks)).all()
+
+
+def test_embed_parameter_presets():
+    """RDKit preset constructors map onto the tier flags."""
+    from nvmolkit_tpu.embedMolecules import (
+        ETDG,
+        ETKDG,
+        ETKDGv2,
+        ETKDGv3,
+        KDG,
+        srETKDGv3,
+    )
+
+    p = ETKDG()
+    assert p.useExpTorsionAnglePrefs and p.useBasicKnowledge
+    assert p.forceTransAmides
+    assert ETKDGv2().useBasicKnowledge
+    assert ETKDGv3().useMacrocycleTorsions
+    assert srETKDGv3().useSmallRingTorsions
+    assert not KDG().useExpTorsionAnglePrefs and KDG().useBasicKnowledge
+    assert ETDG().useExpTorsionAnglePrefs and not ETDG().useBasicKnowledge
+    # overrides pass through
+    assert ETKDGv3(randomSeed=7).randomSeed == 7
+
+
+def test_force_trans_amides_pins_omega():
+    """forceTransAmides must drive amide omega torsions to ~180 deg
+    (trans) across embedded conformers of N-methylacetamide."""
+    from nvmolkit_tpu.embedMolecules import EmbedMolecules, EmbedParameters
+
+    def omega_cos(pos):
+        # CC(=O)NC atoms: 0=CH3, 1=C, 2=O, 3=N, 4=CH3 -> omega quartet
+        # (0, 1, 3, 4)
+        p0, p1, p2, p3 = pos[0], pos[1], pos[3], pos[4]
+        b1, b2, b3 = p1 - p0, p2 - p1, p3 - p2
+        n1 = np.cross(b1, b2)
+        n2 = np.cross(b2, b3)
+        return float(
+            np.dot(n1, n2) / (np.linalg.norm(n1) * np.linalg.norm(n2))
+        )
+
+    m = mol_from_smiles("CC(=O)NC")
+    EmbedMolecules(
+        [m], EmbedParameters(forceTransAmides=True, randomSeed=3),
+        confsPerMolecule=6, maxIterations=15,
+    )
+    assert len(m.conformers) >= 3
+    for conf in m.conformers:
+        # trans omega: cos(omega) ~ -1
+        assert omega_cos(conf) < -0.8, omega_cos(conf)
+
+
+def test_num_zero_fail_rejects_rank_deficient():
+    """numZeroFail>0 flags systems whose metric matrix cannot span the
+    embedding dimensions. Exact planar (rank-2) bounds must fail the
+    4-D check; an exact 3-D point set passes with num_zero_fail=1 (its
+    one structural zero is the 4th dim... which IS counted, so it needs
+    num_zero_fail=2 to pass); and a flexible chain embeds end-to-end
+    with the strict setting thanks to bounds slack."""
+    import jax
+
+    from nvmolkit_tpu.embedMolecules import (
+        EmbedFailureCounts,
+        EmbedMolecules,
+        EmbedParameters,
+    )
+    from nvmolkit_tpu.models.dist_geom import random_distance_matrices
+
+    rng = np.random.default_rng(5)
+    A = 12
+    d = np.zeros((2, A, A), np.float32)
+    mask = np.zeros((2, A), bool)
+    for s, dim in enumerate((2, 3)):  # planar vs 3-D point set
+        pts = rng.normal(size=(8, dim)) * 2.0
+        dm = np.sqrt(((pts[:, None] - pts[None]) ** 2).sum(-1))
+        d[s, :8, :8] = dm
+        mask[s, :8] = True
+    _c, ok1 = random_distance_matrices(
+        jax.random.PRNGKey(0), jnp.asarray(d), jnp.asarray(d),
+        jnp.asarray(mask), n_dims=4, num_zero_fail=1,
+    )
+    _c, ok2 = random_distance_matrices(
+        jax.random.PRNGKey(0), jnp.asarray(d), jnp.asarray(d),
+        jnp.asarray(mask), n_dims=4, num_zero_fail=2,
+    )
+    ok1, ok2 = np.asarray(ok1), np.asarray(ok2)
+    assert not ok1[0] and not ok1[1]   # both have a zero 4th dim
+    assert not ok2[0] and ok2[1]       # rank-2 fails even at 2 zeros
+
+    fail = EmbedFailureCounts()
+    chain = mol_from_smiles("CCCCCC")
+    res = EmbedMolecules(
+        [chain], EmbedParameters(numZeroFail=1), confsPerMolecule=2,
+        maxIterations=10, failures=fail,
+    )
+    assert np.asarray(res.conf_mask).sum() >= 1
+
+
+def test_top_k_eig_power_matches_eigh():
+    """The batched power eigensolver must agree with eigh's dominant
+    eigenpairs (values to 1e-4 rel, subspace residual small) on random
+    padded PSD-ish metric matrices."""
+    import jax
+
+    from nvmolkit_tpu.models.dist_geom import _top_k_eig_power
+
+    rng = np.random.default_rng(11)
+    S, A, k = 8, 24, 4
+    mask = np.zeros((S, A), bool)
+    g = np.zeros((S, A, A), np.float32)
+    for s in range(S):
+        n = int(rng.integers(6, A + 1))
+        mask[s, :n] = True
+        x = rng.normal(size=(n, 5)).astype(np.float32)
+        gs = x @ x.T  # PSD, rank <= 5
+        g[s, :n, :n] = gs
+    vals, vecs = _top_k_eig_power(
+        jnp.asarray(g), jnp.asarray(mask), k, jax.random.PRNGKey(0)
+    )
+    vals = np.asarray(vals)
+    vecs = np.asarray(vecs)
+    for s in range(S):
+        ref = np.linalg.eigh(g[s])[0][::-1][:k]
+        np.testing.assert_allclose(vals[s], ref, rtol=1e-3, atol=1e-3)
+        for j in range(k):
+            v = vecs[s, :, j]
+            resid = g[s] @ v - vals[s, j] * v
+            assert np.linalg.norm(resid) < 1e-2 * max(1.0, abs(vals[s, j]))
