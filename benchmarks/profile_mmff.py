@@ -6,6 +6,10 @@ candidate energy-eval variants (precision scoping, Gram-vs-diff
 nonbonded, select strategies) against the current implementation.
 
 Run on the real chip: python benchmarks/profile_mmff.py
+
+This is the ONE MMFF profiling entry point (the round-4 one-off variant
+scripts profile_mmff2..6 were folded into ROUND4_NOTES.md's findings and
+deleted — VERDICT r4 cleanup item 10). Pass --help for knobs.
 """
 from __future__ import annotations
 

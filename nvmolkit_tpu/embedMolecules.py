@@ -680,6 +680,8 @@ def _embed_bucket(
         int(params.numZeroFail),
     )
 
+    acc_buf = None           # [S, A, 3] device-resident accepted positions
+    accepted_sys: list[int] = []
     for attempt in range(max_iterations):
         active = np.nonzero(needed)[0]
         if len(active) == 0:
@@ -839,16 +841,58 @@ def _embed_bucket(
             passed_so_far &= o
             ok &= o
 
-        pos_np = np.asarray(pos3)
-        for j in np.nonzero(row_valid & ok)[0]:
-            s = row_to_sys[j]
-            k = sys_mol[s]
-            mi = mol_ids[k]
+        acc_rows = np.nonzero(row_valid & ok)[0]
+        if multi:
+            # sharded path: fetch per attempt (a scatter into a shared
+            # buffer would force cross-shard resharding)
+            pos_np = np.asarray(pos3)
+            for j in acc_rows:
+                s = row_to_sys[j]
+                mi = mol_ids[sys_mol[s]]
+                ci = s % confs_per_mol
+                na = molecules[mi].num_atoms
+                out_pos[mi, ci, :na] = pos_np[j, :na]
+                out_conf_mask[mi, ci] = True
+                needed[s] = False
+        else:
+            # device-resident acceptance: scatter the passing rows into
+            # a per-chunk [S, A, 3] buffer and fetch positions ONCE at
+            # the end of the chunk — the per-attempt position fetch was
+            # a full tunnel round trip each (the reference's analog
+            # keeps accepted conformers in device memory until the
+            # final collect, etkdg_impl.h:210-286)
+            if len(acc_rows):
+                if acc_buf is None:
+                    acc_buf = jnp.zeros((S, A, 3), pos3.dtype)
+                n_pad = 1 << max(3, int(np.ceil(np.log2(len(acc_rows)))))
+                src = np.zeros(n_pad, np.int32)
+                src[: len(acc_rows)] = acc_rows
+                dst = np.full(n_pad, S, np.int32)  # pads scatter-drop
+                dst[: len(acc_rows)] = row_to_sys[acc_rows]
+                acc_buf = _scatter_accept(
+                    acc_buf, pos3, jnp.asarray(src), jnp.asarray(dst)
+                )
+            for j in acc_rows:
+                s = row_to_sys[j]
+                mi = mol_ids[sys_mol[s]]
+                ci = s % confs_per_mol
+                out_conf_mask[mi, ci] = True
+                needed[s] = False
+                accepted_sys.append(int(s))
+
+    if acc_buf is not None and accepted_sys:
+        pos_all = np.asarray(acc_buf)  # ONE fetch per chunk
+        for s in accepted_sys:
+            mi = mol_ids[sys_mol[s]]
             ci = s % confs_per_mol
             na = molecules[mi].num_atoms
-            out_pos[mi, ci, :na] = pos_np[j, :na]
-            out_conf_mask[mi, ci] = True
-            needed[s] = False
+            out_pos[mi, ci, :na] = pos_all[s, :na]
+
+
+@jax.jit
+def _scatter_accept(buf, pos3, src_idx, dst_idx):
+    """buf[dst] = pos3[src]; dst pads point past the buffer (dropped)."""
+    return buf.at[dst_idx].set(pos3[src_idx], mode="drop")
 
 
 import functools as _functools

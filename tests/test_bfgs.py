@@ -175,20 +175,29 @@ def test_compacting_driver_matches_plain(rng):
         )
 
 
-def test_reminimizing_converged_batch_exits_fast(rng):
+def test_reminimizing_converged_batch_exits_fast():
     """Re-minimizing an already-minimized batch must exit in a handful
     of steps (entry gradient test + functional-decrease convergence) —
     a straggler grinding max_iters noise-floor accepts once cost 15x
-    the fresh-minimization time through the public API."""
+    the fresh-minimization time through the public API.
+
+    Uses a LOCAL fixed-seed rng, not the session fixture: this is a
+    step-count contract, and whether each system converges via the
+    gradient test (instant re-entry) or the functional-decrease test
+    (legitimate extra re-entry work) depends on the exact random start
+    — the session rng's state here varies with which tests ran first."""
+    import numpy as _np
+
     import jax.numpy as jnp
     from nvmolkit_tpu.chem import mol_from_smiles
     from nvmolkit_tpu.models.uff.energy import make_batched_uff, uff_energy_and_grad
     from nvmolkit_tpu.ops.lbfgs_flat import batched_lbfgs_flat_minimize
 
+    local_rng = _np.random.default_rng(0xC0FFEE)
     mols = [mol_from_smiles(s) for s in ("CCCCO", "CC(C)CO", "CCOCC")] * 4
     A = 16
     pos = jnp.asarray(
-        rng.standard_normal((len(mols), A, 3)).astype("float32") * 1.5
+        local_rng.standard_normal((len(mols), A, 3)).astype("float32") * 1.5
     )
     batch = make_batched_uff(mols, A)
     first = batched_lbfgs_flat_minimize(
@@ -205,3 +214,40 @@ def test_reminimizing_converged_batch_exits_fast(rng):
     # and the energies did not drift upward
     import numpy as np
     assert np.all(np.asarray(again.energies) <= np.asarray(first.energies) + 1e-3)
+
+
+def test_flat_compaction_bit_identical():
+    """The in-program straggler compaction (phase split + rank/gather/
+    scatter) must return BIT-IDENTICAL per-system results to the
+    uncompacted loop: every step-body op is per-system, so regrouping
+    rows can only change wall time."""
+    from nvmolkit_tpu.models.uff.energy import make_batched_uff, uff_energy_and_grad
+    from nvmolkit_tpu.ops.lbfgs_flat import batched_lbfgs_flat_minimize
+
+    local_rng = np.random.default_rng(17)
+    mols = [
+        mol_from_smiles(s)
+        for s in ("CCO", "CCCC", "c1ccccc1", "CC(=O)O", "CCN", "CCOC") * 8
+    ]
+    A = 16
+    batch = make_batched_uff(mols, A)
+    pos = jnp.asarray(
+        local_rng.standard_normal((len(mols), A, 3)).astype("float32") * 1.5
+    )
+    plain = batched_lbfgs_flat_minimize(
+        uff_energy_and_grad, pos, batch.atom_mask, max_iters=200,
+        energy_args=batch, compact_after=0,
+    )
+    compacted = batched_lbfgs_flat_minimize(
+        uff_energy_and_grad, pos, batch.atom_mask, max_iters=200,
+        energy_args=batch, compact_after=24,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(plain.positions), np.asarray(compacted.positions)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(plain.energies), np.asarray(compacted.energies)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(plain.converged), np.asarray(compacted.converged)
+    )

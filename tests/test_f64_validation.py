@@ -25,6 +25,9 @@ import textwrap
 from pathlib import Path
 
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.long  # ~10 min of f64 subprocess recompiles
 
 _SCRIPT = textwrap.dedent(
     """
