@@ -222,6 +222,17 @@ def EmbedMolecules(
     from nvmolkit_tpu.utils.profiling import StageTimer
 
     timer = StageTimer() if debugMode else None
+    import os as _os
+
+    _dbg = _os.environ.get("NVMOLKIT_EMBED_DEBUG")
+    # _embed_bucket is a prep/drain generator: next() runs the host
+    # precompute and dispatches attempt 1's device programs (async),
+    # the exhausting drain fetches results and runs the retry loop.
+    # Interleaving prep(i+1) before drain(i) hides chunk i+1's host
+    # work (bounds, chiral sets, ETK term build — ~0.45 s/1k mols)
+    # under chunk i's device minimizations, the reference's
+    # OpenMP-preprocessing overlap (etkdg.cpp:172-190).
+    pending_gen = None
     for bucket, mol_ids in sorted(buckets.items()):
         # Chunk the (mol, conf) system axis so one launch's working set
         # fits HBM: the DG stage's batched BFGS carries a few copies of
@@ -232,9 +243,13 @@ def EmbedMolecules(
         # systems-per-dispatch knob (hardware_options.h:26-36).
         cap = opts.batchSize if opts.batchSize > 0 else _embed_chunk_cap(bucket)
         mols_per_chunk = max(1, cap // max(1, confsPerMolecule))
-        import os as _os
-
-        _dbg = _os.environ.get("NVMOLKIT_EMBED_DEBUG")
+        # NOTE: splitting a single oversized chunk in half to create a
+        # pipelining partner was measured SLOWER on v5e (2369 vs 3609
+        # conf/s): the DG stage's ~400 sequential while_loop steps do
+        # not shrink with batch size, so two half chunks pay the loop
+        # latency twice. The generator overlap below therefore only
+        # engages for workloads that are already multi-chunk
+        # (multi-bucket batches, memory-capped big runs).
         for start in range(0, len(mol_ids), mols_per_chunk):
             if _dbg:
                 print(
@@ -243,11 +258,17 @@ def EmbedMolecules(
                     flush=True,
                 )
             key, sub = jax.random.split(key)
-            _embed_bucket(
+            gen = _embed_bucket(
                 molecules, mol_ids[start : start + mols_per_chunk], bucket,
                 confsPerMolecule, maxIterations, params, sub, out_pos,
                 out_conf_mask, fail, torsionProvider, timer, opts,
             )
+            next(gen)          # prep + attempt-1 dispatch (async)
+            if pending_gen is not None:
+                next(pending_gen, None)  # drain the previous chunk
+            pending_gen = gen
+    if pending_gen is not None:
+        next(pending_gen, None)
     if timer is not None:
         print(timer.report())
 
@@ -682,10 +703,14 @@ def _embed_bucket(
 
     acc_buf = None           # [S, A, 3] device-resident accepted positions
     accepted_sys: list[int] = []
-    for attempt in range(max_iterations):
+
+    def _dispatch_attempt(k_att):
+        """Dispatch one attempt's device programs (async dispatch only —
+        no fetch) and return the row bookkeeping plus device handles;
+        None when every system is done."""
         active = np.nonzero(needed)[0]
         if len(active) == 0:
-            break
+            return None
         sub_S = next(s for s in ladder if s >= len(active))
         if sub_S < S:
             # Oversample: ladder padding lanes run EXTRA independent
@@ -700,6 +725,7 @@ def _embed_bucket(
             # preserving one-try-per-round counter semantics
             first_row = np.arange(sub_S) < len(active)
         else:
+            idx_np = None
             row_to_sys = np.arange(S)
             row_valid = needed.copy()
             first_row = np.ones(S, bool)
@@ -711,7 +737,6 @@ def _embed_bucket(
             # attempt (21 compaction gathers + 5 stages), and on the
             # tunneled chip each launch pays ~30 ms of round-trip
             # latency — more than the sub-batch's compute.
-            key, k_att = jax.random.split(key)
             with stage("fused_retry"):
                 pos3, oks_arr = _fused_retry_attempt(
                     minimize, k_att, jnp.asarray(idx_np), ub_s, lb_s, am_s,
@@ -720,14 +745,13 @@ def _embed_bucket(
                     dg_weights, check_scalars, stage_iters, use_etk,
                     coord_cfg,
                 )
-            oks = list(np.asarray(oks_arr))
+            oks_dev = oks_arr
         elif not multi:
             # Full-batch attempt in TWO launches: the ETK terms were
             # already built during triangle smoothing (see the
             # etk_term_build stage above), so the DG-stage dispatch here
             # overlaps only the ETK pad + device_put of those Mol-cached
             # terms; the ETK stage + checks then go up as one program.
-            key, k_att = jax.random.split(key)
             with stage("dg_stages"):
                 pos3, eig_ok = _fused_dg_stages(
                     minimize, k_att, ub_s, lb_s, am_s, chk_full[:4],
@@ -739,7 +763,7 @@ def _embed_bucket(
                     minimize, pos3, ub_s, lb_s, am_s, chk_full, etk_b,
                     check_scalars, stage_iters[2], use_etk,
                 )
-            oks = list(np.asarray(jnp.concatenate([eig_ok[None], oks_arr])))
+            oks_dev = jnp.concatenate([eig_ok[None], oks_arr])
         else:
             if sub_S >= S:
                 ub_a, lb_a, am_a, pm = ub_s, lb_s, am_s, pair_mask
@@ -780,10 +804,9 @@ def _embed_bucket(
                     }
                 chk = tuple(g(x) for x in chk_full)
 
-            key, k_coords = jax.random.split(key)
             with stage("coordgen"):
                 cg_out = random_distance_matrices(
-                    k_coords, ub_a, lb_a, am_a, n_dims=4,
+                    k_att, ub_a, lb_a, am_a, n_dims=4,
                     box_size_mult=coord_cfg[0], rand_neg_eig=coord_cfg[1],
                     num_zero_fail=coord_cfg[2],
                 )  # [sub_S, A, 4]
@@ -817,22 +840,39 @@ def _embed_bucket(
                 pos3 = res3.positions
 
             with stage("stereo_checks"):
-                oks = _check_embeddings(
+                oks_list = _check_embeddings(
                     pos3, ub_a, lb_a, pm, *chk,
                     params.maxViolationRatio, params.minTetrahedralVolume,
                 )
             # one stacked fetch instead of six (each device->host fetch
             # pays a full tunnel round trip)
-            oks = list(np.asarray(jnp.concatenate([eig_ok[None], jnp.stack(oks)])))
-        names = (
-            ("initial_coords",),
-            ("bounds_check",),
-            ("chiral_check",),
-            ("tetrahedral_check",),
-            ("double_bond_geometry",),
-            ("double_bond_stereo",),
-            ("chiral_dist_check",),
-        )
+            oks_dev = jnp.concatenate([eig_ok[None], jnp.stack(oks_list)])
+        return row_to_sys, row_valid, first_row, pos3, oks_dev
+
+    key, k0 = jax.random.split(key)
+    pending = _dispatch_attempt(k0)
+    # ---- prep complete: attempt 1's device programs are in flight ----
+    # Yield so EmbedMolecules can run the NEXT chunk's host precompute
+    # (bounds, chiral sets, ETK term build) while this chunk's device
+    # work executes — the reference overlaps preprocessing with
+    # in-flight batches via OpenMP workers (etkdg.cpp:172-190); here the
+    # prep/drain generator split plus XLA async dispatch plays that role.
+    yield
+
+    names = (
+        ("initial_coords",),
+        ("bounds_check",),
+        ("chiral_check",),
+        ("tetrahedral_check",),
+        ("double_bond_geometry",),
+        ("double_bond_stereo",),
+        ("chiral_dist_check",),
+    )
+    for attempt in range(max_iterations):
+        if pending is None:
+            break
+        row_to_sys, row_valid, first_row, pos3, oks_dev = pending
+        oks = list(np.asarray(oks_dev))
         ok = np.ones(len(row_valid), bool)
         passed_so_far = np.ones(len(row_valid), bool)
         for (name,), o in zip(names, oks):
@@ -879,6 +919,12 @@ def _embed_bucket(
                 out_conf_mask[mi, ci] = True
                 needed[s] = False
                 accepted_sys.append(int(s))
+
+        if attempt + 1 < max_iterations:
+            key, k_att = jax.random.split(key)
+            pending = _dispatch_attempt(k_att)
+        else:
+            pending = None
 
     if acc_buf is not None and accepted_sys:
         pos_all = np.asarray(acc_buf)  # ONE fetch per chunk
