@@ -227,7 +227,15 @@ class Mol:
         per-atom properties plus a per-atom bond adjacency table capped at
         MAX_BONDS_PER_ATOM entries of (bond_index, neighbor_index).
         """
+        cached = getattr(self, "_arrays_cache", None)
+        if cached is not None:
+            return cached
         n = self.num_atoms
+        native = getattr(self, "_native_cols", None)
+        if native is not None:
+            out = self._to_arrays_from_native(*native)
+            self._arrays_cache = out
+            return out
         atomic_num = np.array([a.atomic_num for a in self.atoms], dtype=np.int32)
         charge = np.array([a.formal_charge for a in self.atoms], dtype=np.int32)
         degree = np.array([self.degree(i) for i in range(n)], dtype=np.int32)
@@ -256,7 +264,7 @@ class Mol:
                 adj_bonds[i, k] = bi
                 adj_atoms[i, k] = self.bonds[bi].other(i)
 
-        return {
+        out = {
             "atomic_num": atomic_num,
             "charge": charge,
             "degree": degree,
@@ -269,6 +277,57 @@ class Mol:
             "bond_atoms": bond_atoms,
             "bond_type": bond_type,
             "bond_in_ring": bond_in_ring,
+            "adj_bonds": adj_bonds,
+            "adj_atoms": adj_atoms,
+        }
+        self._arrays_cache = out
+        return out
+
+    def _to_arrays_from_native(self, cols, bond_atoms, bond_type, bond_ring):
+        """Vectorized ``to_arrays`` from the flat columns the native
+        parser stashed at construction (``chem/native.py``) — no
+        per-atom Python. Output is identical to the slow path (the
+        adjacency tables keep the same per-atom ascending-bond-index
+        order ``atom_bonds`` produces; differential-tested)."""
+        n = self.num_atoms
+        nb = len(bond_atoms)
+        degree = np.bincount(
+            bond_atoms.ravel(), minlength=max(n, 1)
+        ).astype(np.int32)[:n]
+
+        adj_bonds = np.full((n, MAX_BONDS_PER_ATOM), -1, dtype=np.int32)
+        adj_atoms = np.full((n, MAX_BONDS_PER_ATOM), -1, dtype=np.int32)
+        if nb:
+            ends = np.concatenate([bond_atoms[:, 0], bond_atoms[:, 1]])
+            partners = np.concatenate([bond_atoms[:, 1], bond_atoms[:, 0]])
+            bidx = np.concatenate([np.arange(nb), np.arange(nb)]).astype(np.int32)
+            order = np.lexsort((bidx, ends))   # by atom, then bond index
+            ends_s, part_s, bidx_s = ends[order], partners[order], bidx[order]
+            counts = np.bincount(ends_s, minlength=n)
+            if counts.max(initial=0) > MAX_BONDS_PER_ATOM:
+                i = int(np.argmax(counts))
+                raise ValueError(
+                    f"atom {i} has {counts[i]} bonds > {MAX_BONDS_PER_ATOM}"
+                )
+            starts = np.zeros(n, np.int64)
+            np.cumsum(counts[:-1], out=starts[1:])
+            slot = np.arange(2 * nb) - starts[ends_s]
+            adj_bonds[ends_s, slot] = bidx_s
+            adj_atoms[ends_s, slot] = part_s
+
+        return {
+            "atomic_num": cols["atomic_num"],
+            "charge": cols["charge"],
+            "degree": degree,
+            "total_hs": cols["total_hs"],
+            "in_ring": cols["in_ring"],
+            "is_aromatic": cols["is_aromatic"],
+            "mass": cols["mass"],
+            "isotope": cols["isotope"],
+            "chiral_tag": cols["chiral"],
+            "bond_atoms": bond_atoms,
+            "bond_type": bond_type,
+            "bond_in_ring": bond_ring,
             "adj_bonds": adj_bonds,
             "adj_atoms": adj_atoms,
         }

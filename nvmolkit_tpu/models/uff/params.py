@@ -154,3 +154,80 @@ def uff_atom_type(mol: Mol, idx: int) -> UFFAtomParams:
             f"supported elements: {sorted(set(_SP3_BY_ELEMENT))}"
         )
     return UFF_PARAMS[label]
+
+
+# ---------------------------------------------------------------------------
+# vectorized typing (host-prep fast path)
+# ---------------------------------------------------------------------------
+
+import numpy as _np
+
+_LABEL_ORDER = list(UFF_PARAMS)
+_LABEL_CODE = {lbl: i for i, lbl in enumerate(_LABEL_ORDER)}
+_R1_BY_CODE = _np.asarray([UFF_PARAMS[la].r1 for la in _LABEL_ORDER], _np.float64)
+_CHI_BY_CODE = _np.asarray([UFF_PARAMS[la].chi for la in _LABEL_ORDER], _np.float64)
+_THETA0_BY_CODE = _np.asarray(
+    [UFF_PARAMS[la].theta0 for la in _LABEL_ORDER], _np.float64
+)
+_SP3_CODE_BY_Z = _np.full(128, -1, _np.int32)
+for _z, _lbl in _SP3_BY_ELEMENT.items():
+    _SP3_CODE_BY_Z[_z] = _LABEL_CODE[_lbl]
+
+
+def uff_atom_codes(arrays: dict) -> "_np.ndarray":
+    """Vectorized UFF atom typing over a whole molecule.
+
+    ``arrays`` is ``Mol.to_arrays()`` output. Returns [n] int32 codes
+    indexing ``_LABEL_ORDER`` (and the ``_R1/_CHI/_THETA0_BY_CODE``
+    tables). Semantics identical to the per-atom :func:`uff_atom_type`
+    (the scalar function stays as the differential oracle). Raises
+    :class:`UFFTypingError` on unsupported elements, like the oracle.
+    """
+    z = _np.asarray(arrays["atomic_num"], _np.int32)
+    n = len(z)
+    arom = _np.asarray(arrays["is_aromatic"]).astype(bool)
+    ba = _np.asarray(arrays["bond_atoms"]).reshape(-1, 2)
+    bt = _np.asarray(arrays["bond_type"]).reshape(-1)
+    dbl = bt == 2
+    trp = bt == 3
+    n_double = _np.bincount(ba[dbl].ravel(), minlength=max(n, 1))[:n]
+    n_triple = _np.bincount(ba[trp].ravel(), minlength=max(n, 1))[:n]
+    if dbl.any():
+        de = ba[dbl]
+        other_o = (z[de[:, ::-1]] == 8).astype(_np.float64)
+        n_o_double = _np.bincount(
+            de.ravel(), weights=other_o.ravel(), minlength=max(n, 1)
+        )[:n].astype(_np.int32)
+    else:
+        n_o_double = _np.zeros(n, _np.int32)
+    nbonds = _np.asarray(arrays["degree"], _np.int32)
+
+    code = _SP3_CODE_BY_Z[_np.clip(z, 0, 127)]
+    C = _LABEL_CODE
+
+    def pick(mask, conds, choices, default):
+        if mask.any():
+            code[mask] = _np.select(
+                [c[mask] for c in conds], choices, default
+            )
+
+    sp1 = (n_triple > 0) | (n_double >= 2)
+    pick(z == 6, (arom, sp1, n_double > 0),
+         (C["C_R"], C["C_1"], C["C_2"]), C["C_3"])
+    pick(z == 7, (arom, n_triple > 0, n_double > 0),
+         (C["N_R"], C["N_1"], C["N_2"]), C["N_3"])
+    pick(z == 8, (arom, n_triple > 0, n_double > 0),
+         (C["O_R"], C["O_1"], C["O_2"]), C["O_3"])
+    pick(z == 16, (arom, n_o_double >= 2, n_o_double == 1, n_double > 0),
+         (C["S_R"], C["S_3+6"], C["S_3+4"], C["S_2"]), C["S_3+2"])
+    pick(z == 15, ((n_double > 0) | (nbonds >= 4),),
+         (C["P_3+5"],), C["P_3+3"])
+    pick(z == 5, (arom | (n_double > 0),), (C["B_2"],), C["B_3"])
+
+    if (code < 0).any():
+        bad = int(_np.nonzero(code < 0)[0][0])
+        raise UFFTypingError(
+            f"no UFF parameters for atom {bad} (element {z[bad]}) — "
+            f"supported elements: {sorted(set(_SP3_BY_ELEMENT))}"
+        )
+    return code

@@ -140,3 +140,23 @@ def test_vf2_algorithm_routes_to_native_engine(smiles100):
         mols, queries, sub.SubstructSearchConfig(useDeviceEngine=False)
     )
     np.testing.assert_array_equal(res_vf2.counts(), res_gsi.counts())
+
+
+def test_native_to_arrays_fast_path_identical(smiles100):
+    """Mol.to_arrays' vectorized path (flat native-parse columns) must
+    equal the per-atom Python path key-for-key, including adjacency
+    slot order."""
+    native = mols_from_smiles_native(smiles100)
+    for smi, nm in zip(smiles100, native):
+        fast = nm.to_arrays()
+        cols = nm._native_cols
+        try:
+            nm._native_cols = None
+            slow = nm.to_arrays()
+        finally:
+            nm._native_cols = cols
+        assert set(fast) == set(slow), smi
+        for k in slow:
+            np.testing.assert_array_equal(
+                np.asarray(fast[k]), np.asarray(slow[k]), err_msg=f"{smi} {k}"
+            )

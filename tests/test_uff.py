@@ -181,3 +181,47 @@ def test_unsupported_element_raises():
     m.finalize()
     with pytest.raises(UFFBuildError):
         build_uff_terms(m)
+
+
+def test_vectorized_uff_typing_matches_oracle(smiles100):
+    """uff_atom_codes (vectorized) must agree with the per-atom
+    uff_atom_type oracle on every atom, and the vectorized bond orders
+    in _uff_geom_arrays with the per-bond _bond_order oracle."""
+    from nvmolkit_tpu.chem import mol_from_smiles
+    from nvmolkit_tpu.chem.bounds import _uff_geom_arrays
+    from nvmolkit_tpu.models.uff.builder import _bond_order
+    from nvmolkit_tpu.models.uff.params import (
+        _LABEL_ORDER,
+        uff_atom_codes,
+        uff_atom_type,
+    )
+
+    extra = [
+        "CS(=O)(=O)C", "CSC", "CS(=O)C", "c1ccsc1",     # S tiers
+        "CP(C)C", "CP(=O)(O)O",                          # P tiers
+        "B(O)(O)O", "Cc1ccccc1B",                        # B (may fail arom)
+        "CC(=O)NC", "CNC(=O)NC",                         # amides/urea
+    ]
+    for smi in list(smiles100) + extra:
+        try:
+            m = mol_from_smiles(smi)
+        except ValueError:
+            continue
+        arrays = m.to_arrays()
+        try:
+            codes = uff_atom_codes(arrays)
+        except Exception:
+            # oracle must also fail
+            import pytest as _pytest
+
+            with _pytest.raises(Exception):
+                for i in range(m.num_atoms):
+                    uff_atom_type(m, i)
+            continue
+        for i in range(m.num_atoms):
+            want = uff_atom_type(m, i).label
+            got = _LABEL_ORDER[codes[i]]
+            assert got == want, f"{smi} atom {i}: {got} != {want}"
+        _r1, _chi, _t0, _vdw, order = _uff_geom_arrays(m)
+        for bi, b in enumerate(m.bonds):
+            assert order[bi] == _bond_order(m, b), f"{smi} bond {bi}"
