@@ -250,16 +250,67 @@ class MorganFingerprintGenerator:
                     fps = morgan_kernel(
                         *args, radius=self.radius, fp_size=self.fpSize
                     )
+                    # start the device->host copy NOW: each chunk's
+                    # result streams back while later chunks featurize
+                    # and compute, so the final fetch only drains the
+                    # last chunk instead of the whole output (the
+                    # tunnel's ~2.5 MB result was ~40% of e2e wall)
+                    try:
+                        fps.copy_to_host_async()
+                    except Exception:
+                        pass  # backends without async host copies
                     chunk_idx.append(indices[sl] + s0)
-                    chunk_fps.append(fps[:n])
+                    chunk_fps.append((fps, n))
         all_idx = np.concatenate(chunk_idx)
         inv = np.empty(len(smiles), np.int64)
         inv[all_idx] = np.arange(len(all_idx))
         # bucket-order -> input-order reordering happens lazily at
         # materialization: a device row gather of the full output is
         # ~half the kernel time on TPU (round-4 profiling), while the
-        # same permutation on the fetched host array is ~free
-        return _RowOrderedResult(jnp.concatenate(chunk_fps, axis=0), inv)
+        # same permutation on the fetched host array is ~free. Chunks
+        # stay separate (not device-concatenated) so the async per-chunk
+        # host copies above are what materialization consumes.
+        return _ChunkedRowResult(chunk_fps, inv)
+
+
+class _ChunkedRowResult(AsyncResult):
+    """AsyncResult over per-chunk device arrays (pad rows still
+    attached) plus a final row permutation. ``numpy()`` drains the
+    in-flight async host copies, trims pads, concatenates and reorders
+    on the host (~free); ``jax()`` concatenates/gathers on device only
+    if actually requested."""
+
+    def __init__(self, chunks, order):
+        super().__init__(None)
+        self._chunks = chunks          # [(device_array, n_valid)]
+        self._order = order
+
+    def numpy(self) -> np.ndarray:
+        if self._chunks is not None:
+            parts = [np.asarray(c)[:n] for c, n in self._chunks]
+            out = np.concatenate(parts, axis=0)
+            out = np.ascontiguousarray(out[self._order])
+            self._array = out
+            self._chunks = None
+            self._order = None
+        return super().numpy()
+
+    def jax(self):
+        import jax.numpy as _jnp
+
+        if self._chunks is not None:
+            arr = _jnp.concatenate(
+                [c[:n] for c, n in self._chunks], axis=0
+            )[_jnp.asarray(self._order)]
+            self._array = arr
+            self._chunks = None
+            self._order = None
+        return super().jax()
+
+    def block_until_ready(self):
+        if self._chunks is not None:
+            self.numpy()
+        return super().block_until_ready()
 
 
 class _RowOrderedResult(AsyncResult):
