@@ -473,11 +473,13 @@ def _embed_bucket(
                 # whole torsion library over every molecule; the per-mol
                 # loop below then only assembles cached claims
                 tp.precompute([molecules[mi] for mi in mol_ids])
-            for mi in mol_ids:
-                build_etk_terms(
-                    molecules[mi], tp,
-                    force_trans_amides=params.forceTransAmides,
-                )
+            from nvmolkit_tpu.models.etk import build_etk_terms_batch
+
+            # whole-chunk vectorized term assembly (caches per Mol)
+            build_etk_terms_batch(
+                [molecules[mi] for mi in mol_ids], tp,
+                force_trans_amides=params.forceTransAmides,
+            )
     consistent = np.asarray(consistent)
 
     # relaxed-bounds retry for smoothing failures: the reference

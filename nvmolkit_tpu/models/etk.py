@@ -65,22 +65,85 @@ def build_etk_terms(
     return out
 
 
+def _hyb_from_flat(n, arom, ba, bt) -> np.ndarray:
+    """[n] int8: 3=sp3, 2=sp2 (incl aromatic), 1=sp — vectorized;
+    semantics of ``uff.builder._hybridization`` (the per-atom oracle,
+    differential-tested). Works on one molecule or a concatenation
+    with offset bond ids."""
+    n_double = np.bincount(ba[bt == 2].ravel(), minlength=max(n, 1))[:n]
+    n_triple = np.bincount(ba[bt == 3].ravel(), minlength=max(n, 1))[:n]
+    hyb = np.full(n, 3, np.int8)
+    hyb[n_double > 0] = 2
+    hyb[(n_triple > 0) | (n_double >= 2)] = 1
+    hyb[arom] = 2
+    return hyb
+
+
+def _hybridization_array(mol: Mol) -> np.ndarray:
+    cached = getattr(mol, "_hyb_cache", None)
+    if cached is not None:
+        return cached
+    arrays = mol.to_arrays()
+    hyb = _hyb_from_flat(
+        mol.num_atoms,
+        np.asarray(arrays["is_aromatic"]).astype(bool),
+        np.asarray(arrays["bond_atoms"]).reshape(-1, 2),
+        np.asarray(arrays["bond_type"]).reshape(-1),
+    )
+    mol._hyb_cache = hyb
+    return hyb
+
+
+def hybridization_batch(mols: list[Mol]) -> None:
+    """Fill ``_hyb_cache`` for every molecule with ONE vectorized pass
+    over the concatenated graph (per-molecule numpy overhead at ~12
+    atoms costs more than the loops it replaces — same batching as
+    ``chem.bounds._uff_geom_arrays_batch``)."""
+    todo = [m for m in mols if getattr(m, "_hyb_cache", None) is None]
+    if not todo:
+        return
+    arom_parts, ba_parts, bt_parts, na_list = [], [], [], []
+    off = 0
+    for m in todo:
+        arrays = m.to_arrays()
+        arom_parts.append(np.asarray(arrays["is_aromatic"]).astype(bool))
+        ba_parts.append(np.asarray(arrays["bond_atoms"]).reshape(-1, 2) + off)
+        bt_parts.append(np.asarray(arrays["bond_type"]).reshape(-1))
+        na_list.append(m.num_atoms)
+        off += m.num_atoms
+    hyb = _hyb_from_flat(
+        off,
+        np.concatenate(arom_parts),
+        np.concatenate(ba_parts) if ba_parts else np.zeros((0, 2), np.int64),
+        np.concatenate(bt_parts) if bt_parts else np.zeros(0, np.int32),
+    )
+    a0 = 0
+    for m, na in zip(todo, na_list):
+        m._hyb_cache = hyb[a0 : a0 + na]
+        a0 += na
+
+
 def _build_etk_terms_uncached(
     mol: Mol, torsion_provider=None, force_trans_amides: bool = False
 ) -> ETKTermsHost:
-    from nvmolkit_tpu.models.uff.builder import _hybridization
+    arrays = mol.to_arrays()
+    hyb = _hybridization_array(mol)
+    z = np.asarray(arrays["atomic_num"])
+    degree = np.asarray(arrays["degree"])
+    adj_atoms = np.asarray(arrays["adj_atoms"])          # [n, 8], -1 pads
 
-    imp_idx, imp_k = [], []
-    for j in range(mol.num_atoms):
-        if mol.degree(j) != 3:
-            continue
-        if mol.atoms[j].atomic_num not in (6, 7):
-            continue
-        if _hybridization(mol, j) != 2:
-            continue
-        nbrs = mol.neighbors(j)
-        imp_idx.append((nbrs[0], j, nbrs[1], nbrs[2]))
-        imp_k.append(10.0)
+    centers = np.nonzero(
+        (degree == 3) & ((z == 6) | (z == 7)) & (hyb == 2)
+    )[0]
+    if len(centers):
+        nb = adj_atoms[centers]
+        imp_idx = np.stack(
+            [nb[:, 0], centers, nb[:, 1], nb[:, 2]], axis=1
+        ).astype(np.int32)
+        imp_k = np.full(len(centers), 10.0, np.float32)
+    else:
+        imp_idx = np.zeros((0, 4), np.int32)
+        imp_k = np.zeros(0, np.float32)
 
     # planarity torsions around aromatic and double bonds:
     # E = F2 (1 + cos(2 phi - pi)) = F2 (1 - cos 2 phi), minima at
@@ -93,27 +156,28 @@ def _build_etk_terms_uncached(
     t_rows: list[tuple[int, int, int, int]] = []
     t_c: list[np.ndarray] = []
     t_p: list[np.ndarray] = []
-    for b in mol.bonds:
-        j, k = b.begin, b.end
-        if not (b.is_aromatic or b.order >= 2):
-            continue
-        if _hybridization(mol, j) != 2 or _hybridization(mol, k) != 2:
-            continue
-        if mol.degree(j) < 2 or mol.degree(k) < 2:
-            continue
-        for i in mol.neighbors(j):
-            if i == k:
+    bt_arr = np.asarray(arrays["bond_type"]).reshape(-1)
+    ba_arr = np.asarray(arrays["bond_atoms"]).reshape(-1, 2)
+    pin = (bt_arr == 4) | (bt_arr >= 2)
+    if pin.any():
+        je, ke = ba_arr[:, 0], ba_arr[:, 1]
+        pin &= (hyb[je] == 2) & (hyb[ke] == 2)
+        pin &= (degree[je] >= 2) & (degree[ke] >= 2)
+    _planar_c = np.zeros(6, np.float32)
+    _planar_p = np.zeros(6, np.float32)
+    _planar_c[1] = 5.0
+    _planar_p[1] = np.pi
+    for bi in np.nonzero(pin)[0]:
+        j, k = int(ba_arr[bi, 0]), int(ba_arr[bi, 1])
+        for i in adj_atoms[j]:
+            if i < 0 or i == k:
                 continue
-            for l in mol.neighbors(k):
-                if l == j or l == i:
+            for l in adj_atoms[k]:
+                if l < 0 or l == j or l == i:
                     continue
-                coeffs = np.zeros(6, np.float32)
-                phase = np.zeros(6, np.float32)
-                coeffs[1] = 5.0
-                phase[1] = np.pi
-                t_rows.append((i, j, k, l))
-                t_c.append(coeffs)
-                t_p.append(phase)
+                t_rows.append((int(i), j, k, int(l)))
+                t_c.append(_planar_c)
+                t_p.append(_planar_p)
 
     if torsion_provider is not None:
         p_idx, p_coeffs, p_phase = torsion_provider(mol)
@@ -182,14 +246,135 @@ def _build_etk_terms_uncached(
         t_phase = np.zeros((0, 6), np.float32)
 
     return ETKTermsHost(
-        improper_idx=(
-            np.asarray(imp_idx, np.int32) if imp_idx else np.zeros((0, 4), np.int32)
-        ),
+        improper_idx=np.asarray(imp_idx, np.int32).reshape(-1, 4),
         improper_k=np.asarray(imp_k, np.float32),
         torsion_idx=np.asarray(t_idx, np.int32).reshape(-1, 4),
         torsion_coeffs=np.asarray(t_coeffs, np.float32).reshape(-1, 6),
         torsion_phase=np.asarray(t_phase, np.float32).reshape(-1, 6),
     )
+
+
+def build_etk_terms_batch(
+    mols: list[Mol], torsion_provider=None, force_trans_amides: bool = False
+) -> list[ETKTermsHost]:
+    """Whole-batch ETK term assembly: ONE vectorized pass over the
+    concatenated graph for impropers and planarity torsions, then
+    per-molecule slicing. Emission order per molecule is identical to
+    :func:`build_etk_terms` (bond-ascending, adjacency-slot-ordered
+    combos, provider claims after the planarity rows — the per-mol
+    builder stays as the differential oracle). Results cache per Mol
+    exactly like the per-mol path."""
+    need = [
+        m for m in mols
+        if not (
+            (c := getattr(m, "_etk_terms_cache", None)) is not None
+            and c[0] is torsion_provider
+            and len(c) == 3
+            and c[2] == force_trans_amides
+        )
+    ]
+    if need:
+        hybridization_batch(need)
+        z_p, deg_p, adj_p, ba_p, bt_p, hyb_p = [], [], [], [], [], []
+        na_list = []
+        off = 0
+        for m in need:
+            arrays = m.to_arrays()
+            na = m.num_atoms
+            z_p.append(np.asarray(arrays["atomic_num"], np.int32))
+            deg_p.append(np.asarray(arrays["degree"], np.int32))
+            adj = np.asarray(arrays["adj_atoms"], np.int64).copy()
+            adj[adj >= 0] += off
+            adj_p.append(adj)
+            ba_p.append(np.asarray(arrays["bond_atoms"], np.int64) + off)
+            bt_p.append(np.asarray(arrays["bond_type"]).reshape(-1))
+            hyb_p.append(m._hyb_cache)
+            na_list.append(na)
+            off += na
+        z = np.concatenate(z_p)
+        degree = np.concatenate(deg_p)
+        adjcat = np.concatenate(adj_p, axis=0)
+        ba = (
+            np.concatenate(ba_p, axis=0).reshape(-1, 2)
+            if ba_p else np.zeros((0, 2), np.int64)
+        )
+        bt = np.concatenate(bt_p) if bt_p else np.zeros(0, np.int32)
+        hyb = np.concatenate(hyb_p)
+        atom_off = np.zeros(len(need) + 1, np.int64)
+        np.cumsum(na_list, out=atom_off[1:])
+
+        # impropers (centers ascend with the concatenation => grouped
+        # per molecule)
+        centers = np.nonzero(
+            (degree == 3) & ((z == 6) | (z == 7)) & (hyb == 2)
+        )[0]
+        nbc = adjcat[centers]
+        imp_all = np.stack(
+            [nbc[:, 0], centers, nbc[:, 1], nbc[:, 2]], axis=1
+        ).astype(np.int64) if len(centers) else np.zeros((0, 4), np.int64)
+        imp_split = np.searchsorted(centers, atom_off)
+
+        # planarity torsions: all (i, j, k, l) combos of pinned bonds,
+        # emitted in (bond, i-slot, l-slot) order == the oracle's
+        pin = (bt >= 2) & (hyb[ba[:, 0]] == 2) & (hyb[ba[:, 1]] == 2)
+        pin &= (degree[ba[:, 0]] >= 2) & (degree[ba[:, 1]] >= 2)
+        pb = np.nonzero(pin)[0]
+        if len(pb):
+            je, ke = ba[pb, 0], ba[pb, 1]           # [B]
+            ic = adjcat[je]                          # [B, 8]
+            lc = adjcat[ke]
+            okm = (
+                (ic[:, :, None] >= 0)
+                & (lc[:, None, :] >= 0)
+                & (ic[:, :, None] != ke[:, None, None])
+                & (lc[:, None, :] != je[:, None, None])
+                & (ic[:, :, None] != lc[:, None, :])
+            )                                        # [B, 8, 8]
+            wb, wi, wl = np.nonzero(okm)
+            tor_all = np.stack(
+                [ic[wb, wi], je[wb], ke[wb], lc[wb, wl]], axis=1
+            )                                        # [T, 4] global ids
+            tor_mol = np.searchsorted(atom_off, je[wb], side="right") - 1
+            tor_split = np.searchsorted(tor_mol, np.arange(len(need) + 1))
+        else:
+            tor_all = np.zeros((0, 4), np.int64)
+            tor_split = np.zeros(len(need) + 1, np.int64)
+
+        planar_c = np.zeros(6, np.float32)
+        planar_p = np.zeros(6, np.float32)
+        planar_c[1] = 5.0
+        planar_p[1] = np.pi
+
+        for k, m in enumerate(need):
+            a0 = atom_off[k]
+            imp = (imp_all[imp_split[k] : imp_split[k + 1]] - a0).astype(np.int32)
+            tor = (tor_all[tor_split[k] : tor_split[k + 1]] - a0).astype(np.int32)
+            n_t = len(tor)
+            t_idx = [tor]
+            t_c = [np.broadcast_to(planar_c, (n_t, 6))]
+            t_p = [np.broadcast_to(planar_p, (n_t, 6))]
+            if torsion_provider is not None:
+                p_idx, p_coeffs, p_phase = torsion_provider(m)
+                if len(p_idx):
+                    t_idx.append(np.asarray(p_idx, np.int32).reshape(-1, 4))
+                    t_c.append(np.asarray(p_coeffs, np.float32).reshape(-1, 6))
+                    t_p.append(np.asarray(p_phase, np.float32).reshape(-1, 6))
+            if force_trans_amides:
+                # rare path: reuse the oracle for the amide scan
+                oracle = _build_etk_terms_uncached(
+                    m, torsion_provider, force_trans_amides
+                )
+                m._etk_terms_cache = (torsion_provider, oracle, True)
+                continue
+            terms = ETKTermsHost(
+                improper_idx=imp.reshape(-1, 4),
+                improper_k=np.full(len(imp), 10.0, np.float32),
+                torsion_idx=np.concatenate(t_idx, axis=0),
+                torsion_coeffs=np.concatenate(t_c, axis=0),
+                torsion_phase=np.concatenate(t_p, axis=0),
+            )
+            m._etk_terms_cache = (torsion_provider, terms, False)
+    return [build_etk_terms(m, torsion_provider, force_trans_amides) for m in mols]
 
 
 def pad_etk_batch(terms: list[ETKTermsHost]) -> dict[str, np.ndarray]:

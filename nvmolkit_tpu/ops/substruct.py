@@ -67,22 +67,40 @@ def _featurize_target_uncached(mol: Mol, need_ring_count: bool) -> TargetFeature
     n = mol.num_atoms
     total_hs = arrays["total_hs"]
     degree = arrays["degree"]
-    valence = np.zeros(n, np.int32)
-    ring_bonds = np.zeros(n, np.int32)
+    # vectorized bond walk (fancy-index scatters + bincounts; the
+    # per-bond Python loop was measurable in the embed host prep)
+    ba = np.asarray(arrays["bond_atoms"]).reshape(-1, 2)
+    bt = np.asarray(arrays["bond_type"]).reshape(-1)
+    bring = np.asarray(arrays["bond_in_ring"]).reshape(-1).astype(bool)
     adj_kind = np.zeros((n, n), np.int8)
     adj_ring = np.zeros((n, n), bool)
-    for b in mol.bonds:
-        i, j = b.begin, b.end
-        adj_kind[i, j] = adj_kind[j, i] = int(b.bond_type)
-        adj_ring[i, j] = adj_ring[j, i] = b.in_ring
-        order = 2 if b.bond_type == BondType.DOUBLE else (
-            3 if b.bond_type == BondType.TRIPLE else 1
+    if len(ba):
+        bi, bj = ba[:, 0], ba[:, 1]
+        adj_kind[bi, bj] = bt.astype(np.int8)
+        adj_kind[bj, bi] = bt.astype(np.int8)
+        adj_ring[bi, bj] = bring
+        adj_ring[bj, bi] = bring
+        order = np.where(bt == 2, 2, np.where(bt == 3, 3, 1))
+        valence = np.bincount(
+            ba.ravel(), weights=np.repeat(order, 2), minlength=max(n, 1)
+        )[:n].astype(np.int32)
+        ring_bonds = np.bincount(
+            ba[bring].ravel(), minlength=max(n, 1)
+        )[:n].astype(np.int32)
+    else:
+        valence = np.zeros(n, np.int32)
+        ring_bonds = np.zeros(n, np.int32)
+    native = getattr(mol, "_native_cols", None)
+    if native is not None:
+        implicit_hs = (
+            native[0]["total_hs"] - native[0]["explicit_hs"]
+        ).astype(np.int32)
+        min_ring_size = native[0]["min_ring_size"].astype(np.int32)
+    else:
+        implicit_hs = np.asarray([a.implicit_hs for a in mol.atoms], np.int32)
+        min_ring_size = np.asarray(
+            [a.min_ring_size for a in mol.atoms], np.int32
         )
-        valence[i] += order
-        valence[j] += order
-        if b.in_ring:
-            ring_bonds[i] += 1
-            ring_bonds[j] += 1
     feats = {
         "atomic_num": arrays["atomic_num"],
         "is_aromatic": arrays["is_aromatic"],
@@ -90,11 +108,9 @@ def _featurize_target_uncached(mol: Mol, need_ring_count: bool) -> TargetFeature
         "degree": degree,
         "connections": degree + total_hs,
         "total_hs": total_hs,
-        "implicit_hs": np.asarray([a.implicit_hs for a in mol.atoms], np.int32),
+        "implicit_hs": implicit_hs,
         "in_ring": arrays["in_ring"],
-        "min_ring_size": np.asarray(
-            [a.min_ring_size for a in mol.atoms], np.int32
-        ),
+        "min_ring_size": min_ring_size,
         "ring_bonds": ring_bonds,
         "valence": valence + total_hs,
         "isotope": arrays["isotope"],

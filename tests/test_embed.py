@@ -553,3 +553,34 @@ def test_top_k_eig_power_matches_eigh():
             v = vecs[s, :, j]
             resid = g[s] @ v - vals[s, j] * v
             assert np.linalg.norm(resid) < 1e-2 * max(1.0, abs(vals[s, j]))
+
+
+def test_hybridization_array_matches_oracle(smiles100):
+    from nvmolkit_tpu.models.etk import _hybridization_array
+    from nvmolkit_tpu.models.uff.builder import _hybridization
+
+    for smi in smiles100:
+        m = mol_from_smiles(smi)
+        hyb = _hybridization_array(m)
+        for i in range(m.num_atoms):
+            assert hyb[i] == _hybridization(m, i), f"{smi} atom {i}"
+
+
+def test_build_etk_terms_batch_matches_oracle(smiles100):
+    """Whole-batch ETK term assembly must equal the per-mol builder
+    term-for-term (same emission order) with and without the torsion
+    provider."""
+    from nvmolkit_tpu.models.etk import build_etk_terms_batch
+    from nvmolkit_tpu.models.etk import _build_etk_terms_uncached
+    from nvmolkit_tpu.models.etkdg_torsions import default_torsion_provider
+
+    tp = default_torsion_provider()
+    mols = [mol_from_smiles(s) for s in smiles100[:40]]
+    batch = build_etk_terms_batch(mols, tp)
+    for m, got in zip(mols, batch):
+        want = _build_etk_terms_uncached(m, tp)
+        np.testing.assert_array_equal(got.improper_idx, want.improper_idx)
+        np.testing.assert_array_equal(got.improper_k, want.improper_k)
+        np.testing.assert_array_equal(got.torsion_idx, want.torsion_idx)
+        np.testing.assert_array_equal(got.torsion_coeffs, want.torsion_coeffs)
+        np.testing.assert_array_equal(got.torsion_phase, want.torsion_phase)
