@@ -849,6 +849,13 @@ def _embed_bucket(
             # one stacked fetch instead of six (each device->host fetch
             # pays a full tunnel round trip)
             oks_dev = jnp.concatenate([eig_ok[None], jnp.stack(oks_list)])
+        try:
+            # start the device->host copy as soon as the checks finish
+            # (the drain's blocking fetch then finds the bytes staged —
+            # one tunnel round trip saved per attempt)
+            oks_dev.copy_to_host_async()
+        except Exception:
+            pass
         return row_to_sys, row_valid, first_row, pos3, oks_dev
 
     key, k0 = jax.random.split(key)
