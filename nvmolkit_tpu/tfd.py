@@ -190,7 +190,12 @@ def GetTFDMatrices(
     tfd_np = np.asarray(tfd_all)  # one transfer
 
     out = []
-    pair_of = {(int(i), int(j)): p for p, (i, j) in enumerate(pair_grid)}
+    # vectorized pair lookup (the per-pair python dict walk measured
+    # ~0.2 s on 317k pairs): pair_grid order -> [C, C] index matrix
+    pg = np.asarray(pair_grid, np.int64).reshape(-1, 2)
+    cmax = int(pg.max(initial=0)) + 1
+    lookup = np.zeros((max(cmax, 1), max(cmax, 1)), np.int64)
+    lookup[pg[:, 0], pg[:, 1]] = np.arange(len(pg))
     for k, (m, ts) in enumerate(zip(mols, torsion_sets)):
         pairs = _pairs(n_confs[k])
         if ts.n_torsions == 0:
@@ -200,16 +205,9 @@ def GetTFDMatrices(
                 )
             )
             continue
+        pij = np.asarray(pairs, np.int64).reshape(-1, 2)
         if conf_slots is not None:
-            sl = conf_slots[k]
-            vals = np.asarray(
-                [tfd_np[k, pair_of[(int(sl[i]), int(sl[j]))]] for i, j in pairs],
-                np.float32,
-            )
-        else:
-            vals = np.asarray(
-                [tfd_np[k, pair_of[(int(i), int(j))]] for i, j in pairs],
-                np.float32,
-            )
+            pij = np.asarray(conf_slots[k], np.int64)[pij]
+        vals = tfd_np[k, lookup[pij[:, 0], pij[:, 1]]].astype(np.float32)
         out.append(_apply_return_type(AsyncResult(vals), return_type))
     return out
