@@ -110,8 +110,23 @@ def bench_mmff() -> dict:
             mols, maxIters=200, output=CoordinateOutput.DEVICE
         )
         best = min(best, time.perf_counter() - t0)
-    conv = np.asarray(dense.converged)[np.asarray(dense.conf_mask)]
+    cmask = np.asarray(dense.conf_mask)
+    conv_mat = np.asarray(dense.converged)
+    conv = conv_mat[cmask]
     v = n_systems / best
+
+    # Straggler characterization (VERDICT r4 weak-item 2): break the
+    # non-converged residue down by molecule size so the JSON itself
+    # shows WHICH class still line-searches at the maxIters cap.
+    atoms_per_mol = np.asarray(dense.atom_mask).sum(axis=1)  # [n_mols]
+    straggler_by_atoms: dict[str, list[int]] = {}
+    for lo, hi in ((0, 8), (8, 12), (12, 16), (16, 24), (24, 999)):
+        sel = (atoms_per_mol >= lo) & (atoms_per_mol < hi)
+        n_cls = int(cmask[sel].sum())
+        if n_cls == 0:
+            continue
+        n_bad = int((~conv_mat[sel] & cmask[sel]).sum())
+        straggler_by_atoms[f"{lo}-{hi}_atoms"] = [n_bad, n_cls]
     return {
         "metric": "mmff_minimizations",
         "value": v,
@@ -119,6 +134,10 @@ def bench_mmff() -> dict:
         "vs_baseline": v / BASELINE_MMFF_PER_SEC,
         "n_systems": n_systems,
         "converged_frac": float(conv.mean()),
+        # {size class: [non-converged, total]} at maxIters=200; the
+        # residue is line-search stragglers, not flag defects
+        # (ROUND4_NOTES.md item 9)
+        "nonconverged_by_atoms": straggler_by_atoms,
     }
 
 

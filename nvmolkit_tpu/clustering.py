@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from nvmolkit_tpu.ops.butina import butina_matrix, fused_butina_kernel
-from nvmolkit_tpu.types import AsyncResult
+from nvmolkit_tpu.types import AsyncResult, check_stream_arg
 
 
 def butina(
@@ -24,6 +24,7 @@ def butina(
     cutoff: float,
     neighborlist_max_size: int = 64,
     return_centroids: bool = False,
+    stream=None,
 ):
     """Cluster items whose pairwise distance is <= ``cutoff``.
 
@@ -34,6 +35,7 @@ def butina(
     ``neighborlist_max_size`` is accepted for reference API parity; the
     TPU path does not need the small-cluster neighborlist fast path.
     """
+    check_stream_arg(stream)
     del neighborlist_max_size
     if isinstance(distance_matrix, AsyncResult):
         distance_matrix = distance_matrix.jax()
@@ -52,6 +54,7 @@ def fused_butina(
     x,
     cutoff: float,
     return_centroids: bool = False,
+    stream=None,
     metric: str = "tanimoto",
 ):
     """Fingerprints -> clusters without materializing the N x N matrix.
@@ -62,6 +65,7 @@ def fused_butina(
     fused path semantics). Returns ``(clusters, cluster_sizes[, centroids])``
     where ``clusters`` is a list of index tuples sorted by size desc.
     """
+    check_stream_arg(stream)
     if metric not in ("tanimoto", "cosine"):
         raise ValueError(f"unknown metric {metric!r}")
     if isinstance(x, AsyncResult):

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 
 from nvmolkit_tpu.chem.mol import Mol
 from nvmolkit_tpu.ops.kabsch import conformer_rms_matrices
-from nvmolkit_tpu.types import AsyncResult
+from nvmolkit_tpu.types import AsyncResult, check_stream_arg
 
 # molecules per kernel launch, bounded so the [M, C*3, C*3] Gram block
 # stays well under HBM pressure even at C in the hundreds
@@ -26,9 +26,11 @@ _GRAM_BUDGET = 1 << 28  # f32 elements across the chunk's Gram matrices
 
 
 def GetConformerRMSMatrix(
-    mol: Mol, prealigned: bool = False, heavyAtomsOnly: bool = False
+    mol: Mol, prealigned: bool = False, heavyAtomsOnly: bool = False,
+    stream=None,
 ) -> AsyncResult:
     """Condensed lower-triangle RMSD over all conformer pairs of ``mol``."""
+    check_stream_arg(stream)
     n_conf = len(mol.conformers)
     if n_conf < 2:
         raise ValueError("molecule needs at least 2 conformers")
@@ -40,6 +42,7 @@ def GetConformerRMSMatrixBatch(
     prealigned: bool = False,
     heavyAtomsOnly: bool = False,
     positionsFrom=None,
+    stream=None,
 ) -> list[AsyncResult]:
     """Batched condensed RMSD matrices, one per molecule.
 
@@ -53,6 +56,7 @@ def GetConformerRMSMatrixBatch(
     optimize output) as the coordinate source: the kernel reads its
     ``positions`` array in place, so conformer coordinates never leave
     device memory (only the [C, C] RMSD matrices come back)."""
+    check_stream_arg(stream)
     if not mols:
         return []
     if positionsFrom is not None:

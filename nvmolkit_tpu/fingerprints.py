@@ -17,7 +17,7 @@ from nvmolkit_tpu.chem.mol import Mol
 from nvmolkit_tpu.ops.morgan import morgan_fingerprints_jax
 from nvmolkit_tpu.ops.morgan_cpu import morgan_fingerprint_cpu
 from nvmolkit_tpu.ops.packed_bits import pack_bits_np, unpack_bits_np
-from nvmolkit_tpu.types import AsyncResult
+from nvmolkit_tpu.types import AsyncResult, check_stream_arg
 from nvmolkit_tpu.utils.config import HardwareOptions
 
 _SUPPORTED_FP_SIZES = (128, 256, 512, 1024, 2048, 4096)
@@ -126,6 +126,7 @@ class MorganFingerprintGenerator:
         mols: list[Mol],
         num_threads: int = 0,
         hardwareOptions: HardwareOptions | None = None,
+        stream=None,
     ) -> AsyncResult:
         """Batched accelerator fingerprints, rows in input order.
 
@@ -133,6 +134,7 @@ class MorganFingerprintGenerator:
         path runs on Python ``Mol`` objects (GIL-bound — threading would
         not speed it up); ``GetFingerprintsFromSmiles`` honors it for
         real in the native C++ featurizer."""
+        check_stream_arg(stream)
         del num_threads
         opts = hardwareOptions or HardwareOptions()
         buckets = opts.atomBuckets

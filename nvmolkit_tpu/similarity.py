@@ -12,7 +12,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from nvmolkit_tpu.ops.similarity import cross_similarity, cross_similarity_chunked
-from nvmolkit_tpu.types import AsyncResult
+from nvmolkit_tpu.types import AsyncResult, check_stream_arg
 
 
 def _as_packed(fp) -> jnp.ndarray:
@@ -44,16 +44,20 @@ def _cross(a, b, metric, hardwareOptions):
 
 
 def crossTanimotoSimilarity(
-    fingerprint_group_one, fingerprint_group_two=None, hardwareOptions=None
+    fingerprint_group_one, fingerprint_group_two=None, hardwareOptions=None,
+    stream=None,
 ) -> AsyncResult:
+    check_stream_arg(stream)
     a = _as_packed(fingerprint_group_one)
     b = a if fingerprint_group_two is None else _as_packed(fingerprint_group_two)
     return _cross(a, b, "tanimoto", hardwareOptions)
 
 
 def crossCosineSimilarity(
-    fingerprint_group_one, fingerprint_group_two=None, hardwareOptions=None
+    fingerprint_group_one, fingerprint_group_two=None, hardwareOptions=None,
+    stream=None,
 ) -> AsyncResult:
+    check_stream_arg(stream)
     a = _as_packed(fingerprint_group_one)
     b = a if fingerprint_group_two is None else _as_packed(fingerprint_group_two)
     return _cross(a, b, "cosine", hardwareOptions)

@@ -18,6 +18,22 @@ import numpy as np
 from nvmolkit_tpu.utils.config import HardwareOptions  # noqa: F401  (re-export)
 
 
+def check_stream_arg(stream) -> None:
+    """Validate the reference's ``stream=`` compatibility kwarg.
+
+    The reference's public APIs take a ``torch.cuda.Stream``
+    (``nvmolkit/clustering.py:46``, ``nvmolkit/similarity.py:37``, …);
+    on TPU, XLA's async dispatch orders device work, so there is no
+    stream object to pass. The kwarg is accepted (always ``None``) so
+    reference call sites port without edits; anything else is a type
+    error, mirroring the reference's own check."""
+    if stream is not None:
+        raise TypeError(
+            "stream must be None on TPU (XLA async dispatch replaces "
+            f"CUDA streams), got {type(stream).__name__}"
+        )
+
+
 class CoordinateOutput(enum.Enum):
     """How conformer-producing APIs hand back coordinates (the
     reference's ``CoordinateOutput``, ``nvmolkit/types.py:165-177``).

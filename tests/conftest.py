@@ -21,6 +21,22 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _clear_jax_caches_between_modules():
+    """Release compiled XLA executables after each test module.
+
+    Every XLA:CPU executable holds multiple memory mappings for its
+    JIT'd code. The full suite compiles thousands of programs in one
+    process; without clearing, the process crosses the kernel's
+    vm.max_map_count limit (65530) around 90% through the suite and
+    XLA's code loader segfaults mid-compile (observed: >56k mappings at
+    the halfway mark). Clearing per module keeps the map count bounded;
+    the on-disk persistent compilation cache keeps recompiles cheap for
+    programs shared across modules."""
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture(scope="session")
 def smiles100():
     """100 drug-like SMILES covering rings, aromatics, charges, stereo.

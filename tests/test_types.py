@@ -121,3 +121,49 @@ class TestReferenceKwargParity:
         assert UFFOptimizeMoleculesConfs([]) == ([], None)
         with pytest.raises(ValueError):
             UFFOptimizeMoleculesConfs([], output=CoordinateOutput.DEVICE)
+
+
+class TestStreamKwargParity:
+    """The reference's public APIs take ``stream=`` (a torch.cuda.Stream,
+    e.g. ``nvmolkit/clustering.py:46``); here the kwarg is accepted for
+    drop-in source compatibility and must be None (XLA async dispatch
+    replaces CUDA streams)."""
+
+    def test_stream_none_accepted_everywhere(self):
+        import numpy as np
+
+        from nvmolkit_tpu.chem import mol_from_smiles
+        from nvmolkit_tpu.clustering import butina, fused_butina
+        from nvmolkit_tpu.conformerRmsd import GetConformerRMSMatrixBatch
+        from nvmolkit_tpu.embedMolecules import EmbedMolecules
+        from nvmolkit_tpu.fingerprints import MorganFingerprintGenerator
+        from nvmolkit_tpu.similarity import (
+            crossCosineSimilarity,
+            crossTanimotoSimilarity,
+        )
+
+        mols = [mol_from_smiles(s) for s in ("CCO", "CCC")]
+        gen = MorganFingerprintGenerator(radius=2, fpSize=512)
+        fps = gen.GetFingerprints(mols, stream=None)
+        assert crossTanimotoSimilarity(fps, stream=None).shape == (2, 2)
+        assert crossCosineSimilarity(fps, stream=None).shape == (2, 2)
+        d = 1.0 - np.asarray(crossTanimotoSimilarity(fps).numpy())
+        assert butina(d, cutoff=0.5, stream=None).shape == (2,)
+        clusters, _ = fused_butina(fps, cutoff=0.5, stream=None)
+        assert sum(len(c) for c in clusters) == 2
+
+        EmbedMolecules(mols, confsPerMolecule=2, maxIterations=5)
+        GetConformerRMSMatrixBatch(mols, stream=None)
+
+    def test_stream_non_none_rejected(self):
+        import numpy as np
+        import pytest
+
+        from nvmolkit_tpu.clustering import butina
+        from nvmolkit_tpu.similarity import crossTanimotoSimilarity
+
+        fps = np.zeros((2, 16), np.uint32)
+        with pytest.raises(TypeError, match="stream"):
+            crossTanimotoSimilarity(fps, stream=object())
+        with pytest.raises(TypeError, match="stream"):
+            butina(np.zeros((2, 2), np.float32), cutoff=0.5, stream=object())
