@@ -242,3 +242,31 @@ def test_single_item_and_empty_like_cases():
     assert ids.tolist() == [0]
     clusters, sizes = fused_butina(np.zeros((1, 4), np.uint32), 0.5)
     assert clusters == [(0,)]
+
+
+def test_fused_epoch_window_large_tie_heavy():
+    """n >> WIN with hundreds of equal-size (tie-heavy) clusters: forces
+    many epoch-window rounds (WIN=128) including window invalidation on
+    count ties, where argmax-last must still match the oracle exactly."""
+    rng = np.random.default_rng(991)
+    n_centers, copies = 96, 16
+    centers = rng.integers(0, 2**32, (n_centers, 8), dtype=np.uint64).astype(np.uint32)
+    # identical copies of each center -> within-cluster sims are 1.0 and
+    # every member is a tied candidate center
+    fps = np.repeat(centers, copies, axis=0)
+    # plus isolated noise rows (singletons)
+    noise = rng.integers(0, 2**32, (64, 8), dtype=np.uint64).astype(np.uint32)
+    fps = np.concatenate([fps, noise])
+    perm = rng.permutation(len(fps))
+    fps = fps[perm]
+    cutoff = 0.3
+    from nvmolkit_tpu.ops.similarity import cross_similarity_cpu as _sim
+
+    dist = 1.0 - _sim(fps, fps, "tanimoto")
+    want_ids, _ = _butina_oracle(dist <= cutoff)
+    clusters, sizes = fused_butina(fps, cutoff=cutoff)
+    got_ids = np.empty(len(fps), np.int64)
+    for k, members in enumerate(clusters):
+        for i in members:
+            got_ids[i] = k
+    np.testing.assert_array_equal(got_ids, want_ids)
