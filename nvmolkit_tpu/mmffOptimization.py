@@ -8,18 +8,32 @@ from __future__ import annotations
 
 import dataclasses
 
+from collections.abc import Sequence
+
 from nvmolkit_tpu.chem.mol import Mol
 from nvmolkit_tpu.models.mmff import MMFFProperties, make_batched_mmff, mmff_energy_and_grad
 from nvmolkit_tpu.models.optimize import optimize_molecules_confs
 from nvmolkit_tpu.utils.config import HardwareOptions
 
 
+def _per_mol(value, i: int, n: int, name: str):
+    """Reference parity: scalar or length-n per-molecule sequence
+    (``nvmolkit/mmffOptimization.py:42-43``, ``uffOptimization.py:35-36``)."""
+    if isinstance(value, Sequence) and not isinstance(value, (str, bytes)):
+        if len(value) != n:
+            raise ValueError(
+                f"{name} sequence length {len(value)} != molecule count {n}"
+            )
+        return value[i]
+    return value
+
+
 def MMFFOptimizeMoleculesConfs(
     molecules: list[Mol],
     maxIters: int = 200,
     properties: MMFFProperties | list[MMFFProperties] | None = None,
-    nonBondedThreshold: float = 100.0,
-    ignoreInterfragInteractions: bool = True,
+    nonBondedThreshold: float | Sequence[float] = 100.0,
+    ignoreInterfragInteractions: bool | Sequence[bool] = True,
     hardwareOptions: HardwareOptions | None = None,
     provider=None,
     backend: str = "flat",
@@ -104,20 +118,36 @@ def MMFFOptimizeMoleculesConfs(
                 f"properties list length {len(properties)} != "
                 f"molecule count {len(molecules)}"
             )
+        n = len(molecules)
         per_mol = [
             p
             or MMFFProperties(
-                nonBondedThreshold=nonBondedThreshold,
-                ignoreInterfragInteractions=ignoreInterfragInteractions,
+                nonBondedThreshold=_per_mol(
+                    nonBondedThreshold, i, n, "nonBondedThreshold"
+                ),
+                ignoreInterfragInteractions=_per_mol(
+                    ignoreInterfragInteractions, i, n,
+                    "ignoreInterfragInteractions",
+                ),
             )
-            for p in properties
+            for i, p in enumerate(properties)
         ]
+    elif properties is not None:
+        per_mol = [properties] * len(molecules)
     else:
-        props = properties or MMFFProperties(
-            nonBondedThreshold=nonBondedThreshold,
-            ignoreInterfragInteractions=ignoreInterfragInteractions,
-        )
-        per_mol = [props] * len(molecules)
+        n = len(molecules)
+        per_mol = [
+            MMFFProperties(
+                nonBondedThreshold=_per_mol(
+                    nonBondedThreshold, i, n, "nonBondedThreshold"
+                ),
+                ignoreInterfragInteractions=_per_mol(
+                    ignoreInterfragInteractions, i, n,
+                    "ignoreInterfragInteractions",
+                ),
+            )
+            for i in range(n)
+        ]
 
     # group molecules by properties signature; one optimize pass each
     groups: dict[tuple, list[int]] = {}
@@ -129,7 +159,6 @@ def MMFFOptimizeMoleculesConfs(
     dense_parts: list = []
 
     import jax.numpy as jnp
-    import numpy as np
 
     for _key, mol_ids in groups.items():
         props = per_mol[mol_ids[0]]
@@ -173,33 +202,8 @@ def MMFFOptimizeMoleculesConfs(
         return finalize_output(molecules, results, dense_parts[0][1], output)
 
     # merge group Dense3DResults back into input order
-    max_confs = max(len(m.conformers) for m in molecules)
-    max_atoms = max(int(d.positions.shape[2]) for _, d in dense_parts)
-    n = len(molecules)
-    pos = np.zeros((n, max_confs, max_atoms, 3), np.float32)
-    conf_mask = np.zeros((n, max_confs), bool)
-    atom_mask = np.zeros((n, max_atoms), bool)
-    e_out = np.zeros((n, max_confs), np.float32)
-    conv = np.zeros((n, max_confs), bool)
-    for mol_ids, d in dense_parts:
-        dp = np.asarray(d.positions)
-        for g, mi in enumerate(mol_ids):
-            c = int(np.asarray(d.conf_mask)[g].sum())
-            a = dp.shape[2]
-            pos[mi, :c, :a] = dp[g, :c]
-            conf_mask[mi, :c] = True
-            atom_mask[mi, : molecules[mi].num_atoms] = True
-            e_out[mi, :c] = np.asarray(d.energies)[g, :c]
-            conv[mi, :c] = np.asarray(d.converged)[g, :c]
-    from nvmolkit_tpu.types import Dense3DResult
+    from nvmolkit_tpu.models.optimize import finalize_output, merge_group_dense
 
-    dense = Dense3DResult(
-        positions=jnp.asarray(pos),
-        conf_mask=jnp.asarray(conf_mask),
-        atom_mask=jnp.asarray(atom_mask),
-        energies=jnp.asarray(e_out),
-        converged=jnp.asarray(conv),
-    )
-    from nvmolkit_tpu.models.optimize import finalize_output
+    dense = merge_group_dense(molecules, dense_parts)
 
     return finalize_output(molecules, results, dense, output)

@@ -277,3 +277,39 @@ def finalize_output(molecules, results, dense, output):
         for k, ci in enumerate(slots[: len(m.conformers)]):
             m.conformers[k] = pos[mi, ci, :na].copy()
     return results, dense
+
+
+def merge_group_dense(molecules, dense_parts):
+    """Merge per-group optimize results back into input molecule order.
+
+    ``dense_parts`` is ``[(mol_ids, Dense3DResult), ...]`` from running
+    :func:`optimize_molecules_confs` on property-homogeneous molecule
+    groups (the reference groups per-molecule thresholds the same way,
+    ``nvmolkit/mmffOptimization.py:145-196``). Returns one
+    :class:`Dense3DResult` covering all molecules.
+    """
+    max_confs = max(len(m.conformers) for m in molecules)
+    max_atoms = max(int(d.positions.shape[2]) for _, d in dense_parts)
+    n = len(molecules)
+    pos = np.zeros((n, max_confs, max_atoms, 3), np.float32)
+    conf_mask = np.zeros((n, max_confs), bool)
+    atom_mask = np.zeros((n, max_atoms), bool)
+    e_out = np.zeros((n, max_confs), np.float32)
+    conv = np.zeros((n, max_confs), bool)
+    for mol_ids, d in dense_parts:
+        dp = np.asarray(d.positions)
+        for g, mi in enumerate(mol_ids):
+            c = int(np.asarray(d.conf_mask)[g].sum())
+            a = dp.shape[2]
+            pos[mi, :c, :a] = dp[g, :c]
+            conf_mask[mi, :c] = True
+            atom_mask[mi, : molecules[mi].num_atoms] = True
+            e_out[mi, :c] = np.asarray(d.energies)[g, :c]
+            conv[mi, :c] = np.asarray(d.converged)[g, :c]
+    return Dense3DResult(
+        positions=jnp.asarray(pos),
+        conf_mask=jnp.asarray(conf_mask),
+        atom_mask=jnp.asarray(atom_mask),
+        energies=jnp.asarray(e_out),
+        converged=jnp.asarray(conv),
+    )

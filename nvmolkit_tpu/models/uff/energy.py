@@ -95,12 +95,14 @@ def _nb_exclusion(mol: Mol) -> list[tuple[int, int]]:
     return excluded
 
 
-def _nb_rows(m: Mol, max_atoms: int):
+def _nb_rows(m: Mol, max_atoms: int, ignore_interfrag: bool = True):
     """Cached per-molecule flattened nonbonded pair tables [A*A]:
-    x_ij^2 and sqrt(D_i D_j), zero where excluded (1-2/1-3 or padding).
-    Pair (i, j) lives at flat index i*A + j (see UFFBatch)."""
+    x_ij^2 and sqrt(D_i D_j), zero where excluded (1-2/1-3, cross
+    fragment under ``ignore_interfrag`` — RDKit's UFF contract, mirrored
+    by the reference — or padding). Pair (i, j) lives at flat index
+    i*A + j (see UFFBatch)."""
     cache = getattr(m, "_uff_nb_cache", None)
-    if cache is not None and cache[0] == max_atoms:
+    if cache is not None and cache[0] == (max_atoms, ignore_interfrag):
         return cache[1]
     na = m.num_atoms
     A = max_atoms
@@ -113,10 +115,16 @@ def _nb_rows(m: Mol, max_atoms: int):
     mask[:na, :na] = np.triu(np.ones((na, na), bool), 1)
     for (i, j) in _nb_exclusion(m):
         mask[i, j] = False
+    if ignore_interfrag:
+        from nvmolkit_tpu.chem.mol import fragment_ids
+
+        frag = np.asarray(fragment_ids(m))
+        same = frag[:, None] == frag[None, :]
+        mask[:na, :na] &= same
     x2 = np.where(mask, np.outer(x, x), 0.0).astype(np.float32).reshape(A * A)
     dij = np.where(mask, np.sqrt(np.maximum(np.outer(d, d), 0.0)), 0.0)
     rows = (x2, dij.astype(np.float32).reshape(A * A))
-    m._uff_nb_cache = (max_atoms, rows)
+    m._uff_nb_cache = ((max_atoms, ignore_interfrag), rows)
     return rows
 
 

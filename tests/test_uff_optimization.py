@@ -113,3 +113,68 @@ def test_optimize_chunked_matches_unchunked():
     np.testing.assert_array_equal(
         np.asarray(d_full.converged), np.asarray(d_chunk.converged)
     )
+
+
+class TestPerMoleculeSequences:
+    """Reference parity: vdwThreshold / ignoreInterfragInteractions may
+    be per-molecule sequences (``nvmolkit/uffOptimization.py:35-36``,
+    ``mmffOptimization.py:42-43``)."""
+
+    @staticmethod
+    def _two_fragment_mols(rng=None):
+        # fixed local seed: every call must hand out the SAME starting
+        # geometry so sequence runs compare against scalar runs exactly
+        local = np.random.default_rng(0xF7A6)
+        mols = [mol_from_smiles("CO.OC"), mol_from_smiles("CO.OC")]
+        conf = _lattice_conformer(mols[0], local, spacing=1.5)
+        for m in mols:
+            m.add_conformer(conf.copy())
+        return mols
+
+    def test_uff_interfrag_sequence_matches_scalar_runs(self, rng):
+        # few iterations: at full convergence the fragments separate and
+        # the interfrag vdW term decays to ~0, masking the flag
+        mols = self._two_fragment_mols(rng)
+        res_seq, _ = UFFOptimizeMoleculesConfs(
+            mols, maxIters=4, ignoreInterfragInteractions=[True, False]
+        )
+        m_t = self._two_fragment_mols(rng)[:1]
+        res_t, _ = UFFOptimizeMoleculesConfs(
+            m_t, maxIters=4, ignoreInterfragInteractions=True
+        )
+        m_f = self._two_fragment_mols(rng)[:1]
+        res_f, _ = UFFOptimizeMoleculesConfs(
+            m_f, maxIters=4, ignoreInterfragInteractions=False
+        )
+        np.testing.assert_allclose(res_seq[0][0][1], res_t[0][0][1], rtol=1e-5)
+        np.testing.assert_allclose(res_seq[1][0][1], res_f[0][0][1], rtol=1e-5)
+        # the flag must actually change the answer for this geometry
+        assert not np.isclose(res_seq[0][0][1], res_seq[1][0][1], rtol=1e-3)
+
+    def test_mmff_interfrag_sequence_matches_scalar_runs(self, rng):
+        from nvmolkit_tpu.mmffOptimization import MMFFOptimizeMoleculesConfs
+
+        mols = self._two_fragment_mols(rng)
+        res_seq, _ = MMFFOptimizeMoleculesConfs(
+            mols, maxIters=30, ignoreInterfragInteractions=[True, False]
+        )
+        m_t = self._two_fragment_mols(rng)[:1]
+        res_t, _ = MMFFOptimizeMoleculesConfs(
+            m_t, maxIters=30, ignoreInterfragInteractions=True
+        )
+        m_f = self._two_fragment_mols(rng)[:1]
+        res_f, _ = MMFFOptimizeMoleculesConfs(
+            m_f, maxIters=30, ignoreInterfragInteractions=False
+        )
+        np.testing.assert_allclose(res_seq[0][0][1], res_t[0][0][1], rtol=1e-5)
+        np.testing.assert_allclose(res_seq[1][0][1], res_f[0][0][1], rtol=1e-5)
+        assert not np.isclose(res_seq[0][0][1], res_seq[1][0][1], rtol=1e-3)
+
+    def test_sequence_length_validation(self, rng):
+        mols = self._two_fragment_mols(rng)
+        with pytest.raises(ValueError, match="vdwThreshold sequence length"):
+            UFFOptimizeMoleculesConfs(mols, vdwThreshold=[10.0])
+        from nvmolkit_tpu.mmffOptimization import MMFFOptimizeMoleculesConfs
+
+        with pytest.raises(ValueError, match="nonBondedThreshold sequence"):
+            MMFFOptimizeMoleculesConfs(mols, nonBondedThreshold=[100.0])
